@@ -1,0 +1,100 @@
+"""FID / Inception Score evaluation.
+
+Parity target: ``cifar/evaluation.py`` + ``notebooks/evals.ipynb`` — pool3
+features from InceptionV3, exact FID via matrix sqrt, IS from the logits
+head. Differences by design:
+
+* Feature extraction is batched through whatever accelerator TF sees; the
+  reference already placed Inception on ``'/TPU:i'`` devices explicitly
+  (``cifar/evaluation.py:26``). Here TF is optional: with no TF (or no
+  pretrained weights — this environment has no network egress), callers can
+  pass any feature function with the same signature, and the statistics /
+  FID math below is backend-free numpy/scipy.
+* Exact matrix sqrt stays on host CPU via scipy (``evaluation.py:40``), the
+  one part of the metric XLA should not own.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+def matrix_sqrt_spd(a: np.ndarray) -> np.ndarray:
+    """Principal square root of a (near-)SPD matrix on host CPU."""
+    import scipy.linalg
+
+    s, info = scipy.linalg.sqrtm(a, disp=False)
+    del info
+    return np.real(s)
+
+
+def frechet_distance(
+    mu1: np.ndarray, cov1: np.ndarray, mu2: np.ndarray, cov2: np.ndarray
+) -> float:
+    """Exact Fréchet distance between two Gaussians (evaluation.py:35-45)."""
+    diff = mu1 - mu2
+    covmean = matrix_sqrt_spd(cov1 @ cov2)
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * np.trace(covmean))
+
+
+def feature_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = feats.mean(axis=0)
+    cov = np.cov(feats, rowvar=False)
+    return mu, cov
+
+
+def fid_from_features(ref_feats: np.ndarray, gen_feats: np.ndarray) -> float:
+    m1, c1 = feature_statistics(ref_feats)
+    m2, c2 = feature_statistics(gen_feats)
+    return frechet_distance(m1, c1, m2, c2)
+
+
+def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """IS from class logits: exp(E KL(p(y|x) || p(y)))."""
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    scores = []
+    n = len(probs)
+    for i in range(splits):
+        part = probs[i * n // splits : (i + 1) * n // splits]
+        py = part.mean(0, keepdims=True)
+        kl = (part * (np.log(part + 1e-10) - np.log(py + 1e-10))).sum(-1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def get_inception_feature_fn(weights_path: Optional[str] = None) -> Optional[Callable]:
+    """Keras InceptionV3 pool3 feature extractor, or None when unavailable.
+
+    ``weights_path``: local .h5 weights (no network in this environment);
+    passing 'imagenet' attempts the standard download when egress exists.
+    """
+    try:
+        import tensorflow as tf
+    except Exception:
+        return None
+    try:
+        model = tf.keras.applications.InceptionV3(
+            include_top=False, pooling="avg", weights=weights_path
+        )
+    except Exception:
+        return None
+
+    def feature_fn(uint8_images: np.ndarray, batch_size: int = 256) -> np.ndarray:
+        outs = []
+        for i in range(0, len(uint8_images), batch_size):
+            x = uint8_images[i : i + batch_size].astype(np.float32)
+            x = tf.image.resize(x, (299, 299))
+            x = tf.keras.applications.inception_v3.preprocess_input(x)
+            outs.append(model(x, training=False).numpy())
+        return np.concatenate(outs, axis=0)
+
+    return feature_fn
+
+
+def load_dataset_stats(path: str) -> np.ndarray:
+    """Load precomputed pool3 stats npz (``evaluation.py:47-57`` format)."""
+    with open(path, "rb") as f:
+        return np.load(f)["pool_3"]

@@ -1,0 +1,247 @@
+"""Stable-Diffusion 1.x conditional UNet, TPU-first Flax implementation.
+
+Same capability as the diffusers ``UNet2DConditionModel`` the reference loads
+(``applications/images/clip_eval.py:34-36``), re-designed for TPU:
+
+* NHWC end-to-end, bf16 compute / fp32 params, fp32 softmax+GroupNorm.
+* Attention is plain einsum attention (MXU-friendly at these sizes: 4096
+  tokens max) and therefore differentiable under ``jax.jvp`` — the ODE Itô
+  estimator needs forward-mode through the net, which forced the reference
+  to switch off flash attention (``clip_eval.py:97``).
+* Multi-head layout keeps heads in the batch dims of a single batched
+  einsum; no per-head Python loops.
+* The epsilon-prediction output stays fp32 (density accumulators are fp32).
+
+Weight conversion from HF safetensors lives in ``convert.py``; with no local
+weights the model runs with random init (identical compute graph, used by
+``bench.py`` for throughput measurement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..unet import GroupNorm32, timestep_embedding
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SDUNetConfig:
+    """SD-1.x defaults (CompVis/stable-diffusion-v1-4 unet/config.json)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8  # heads per attention (SD1.x: 8 heads)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    norm_num_groups: int = 32
+
+    @staticmethod
+    def tiny() -> "SDUNetConfig":
+        """Small config for tests: same topology, 1/16 width."""
+        return SDUNetConfig(
+            block_out_channels=(32, 64, 64, 64),
+            cross_attention_dim=64,
+            attention_head_dim=4,
+        )
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None."""
+
+    query_dim: int
+    heads: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        ctx = x if context is None else context
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, head_dim)
+        k = k.reshape(b, lk, self.heads, head_dim)
+        v = v.reshape(b, lk, self.heads, head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(logits * (head_dim**-0.5), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.context_dim, dtype=self.dtype, name="attn2"
+        )(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = GEGLU(self.dim * 4, dtype=self.dtype, name="ff_geglu")(h)
+        x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> proj_in -> transformer block(s) -> proj_out, residual."""
+
+    channels: int
+    heads: int
+    context_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        z = GroupNorm32(name="norm")(x)
+        z = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(z)
+        z = z.reshape(b, h * w, self.channels)
+        for i in range(self.depth):
+            z = TransformerBlock(
+                self.channels, self.heads, self.context_dim, self.dtype,
+                name=f"block_{i}",
+            )(z, context)
+        z = z.reshape(b, h, w, self.channels)
+        z = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(z)
+        return z + residual
+
+
+class ResnetBlock2D(nn.Module):
+    out_ch: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array) -> Array:
+        h = nn.swish(GroupNorm32(name="norm1")(x))
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
+        h = h + nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
+            nn.swish(temb)
+        )[:, None, None, :]
+        h = nn.swish(GroupNorm32(name="norm2")(h))
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class SDUNet(nn.Module):
+    """UNet2DConditionModel equivalent: (latents NHWC, t, context) -> eps."""
+
+    config: SDUNetConfig = SDUNetConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, t: Array, context: Array) -> Array:
+        cfg = self.config
+        ch0 = cfg.block_out_channels[0]
+        temb = timestep_embedding(
+            jnp.broadcast_to(jnp.atleast_1d(t), (x.shape[0],)), ch0
+        )
+        # diffusers flips sin/cos order relative to DDPM; handled in convert.py.
+        temb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_1")(temb.astype(self.dtype))
+        temb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_2")(nn.swish(temb))
+        context = context.astype(self.dtype)
+
+        h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(
+            x.astype(self.dtype)
+        )
+        hs = [h]
+
+        # Down path
+        for i, block_type in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock2D(out_ch, self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                if has_attn:
+                    h = SpatialTransformer(
+                        out_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
+                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                    )(h, context)
+                hs.append(h)
+            if i != len(cfg.down_block_types) - 1:
+                h = nn.Conv(
+                    out_ch, (3, 3), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, name=f"down_{i}_downsample",
+                )(h)
+                hs.append(h)
+
+        # Mid
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResnetBlock2D(mid_ch, self.dtype, name="mid_res_0")(h, temb)
+        h = SpatialTransformer(
+            mid_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
+            dtype=self.dtype, name="mid_attn",
+        )(h, context)
+        h = ResnetBlock2D(mid_ch, self.dtype, name="mid_res_1")(h, temb)
+
+        # Up path
+        for i, block_type in enumerate(cfg.up_block_types):
+            level = len(cfg.block_out_channels) - 1 - i
+            out_ch = cfg.block_out_channels[level]
+            has_attn = block_type == "CrossAttnUpBlock2D"
+            for j in range(cfg.layers_per_block + 1):
+                skip = hs.pop()
+                h = ResnetBlock2D(out_ch, self.dtype, name=f"up_{i}_res_{j}")(
+                    jnp.concatenate([h, skip], axis=-1), temb
+                )
+                if has_attn:
+                    h = SpatialTransformer(
+                        out_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
+                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                    )(h, context)
+            if i != len(cfg.up_block_types) - 1:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nn.Conv(
+                    out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"up_{i}_upsample",
+                )(h)
+        assert not hs
+
+        h = nn.swish(GroupNorm32(name="norm_out")(h))
+        h = nn.Conv(cfg.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
+        return h.astype(jnp.float32)
