@@ -1,0 +1,78 @@
+"""Headline benchmark: 2-model SuperDiff Stable-Diffusion throughput.
+
+Measures images/sec/chip for the OR-composition of two prompt conditionings
+of an SD-1.x UNet at 512 px, 50 inference steps (BASELINE.json north-star:
+>= 10 images/sec/chip on v5e). The UNet is the full SD-1.x architecture
+(860M params); weights are random when no local safetensors are present —
+identical compute graph, identical throughput.
+
+Per step the composed sampler needs 3 conditional UNet evaluations
+(obj / bg / uncond, ``applications/images/clip_eval.py:354,394,418``); this
+implementation fuses them into one batch-3B forward inside a single
+``lax.scan`` program, bf16 on the MXU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+BASELINE_IMG_PER_SEC = 10.0  # driver-supplied target (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import superdiff_tpu  # noqa: F401
+    from superdiff_tpu.pipelines import sd as sdp
+    from superdiff_tpu.models.sd.clip import CLIPTextConfig
+
+    batch_size = 4
+    steps = 50
+    cfg = sdp.SDPipelineConfig(num_inference_steps=steps, height=512, width=512)
+
+    key = jax.random.PRNGKey(0)
+    mod = sdp.build_sd_modules(key, height=cfg.height, width=cfg.width)
+    # bf16 weights: inference-only ensemble composition; halves HBM traffic
+    # for the weight streams, the bandwidth bottleneck of UNet inference.
+    mod.unet_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        mod.unet_params,
+    )
+
+    tcfg = CLIPTextConfig()
+    ctx_shape = (batch_size, tcfg.max_length, 768)
+    k1, k2, k3, krun = jax.random.split(key, 4)
+    ctx_obj = jax.random.normal(k1, ctx_shape)
+    ctx_bg = jax.random.normal(k2, ctx_shape)
+    ctx_unc = jax.random.normal(k3, ctx_shape)
+
+    run = sdp.make_sampler(mod, "or", cfg)
+
+    # warmup / compile
+    lat, _ = run(krun, ctx_obj, ctx_bg, ctx_unc)
+    jax.block_until_ready(lat)
+
+    n_rep = 2
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        lat, _ = run(jax.random.fold_in(krun, i), ctx_obj, ctx_bg, ctx_unc)
+    jax.block_until_ready(lat)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    imgs_per_sec = batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "superdiff_sd_or_2model_512px_50step_throughput",
+                "value": round(imgs_per_sec, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / BASELINE_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Unified experiment CLI — the L6 driver layer.
+
+One coherent argparse surface replacing the reference's three config systems
+(SURVEY.md §5.6: absl+ml_collections for CIFAR ``cifar/main.py:14-40``,
+argparse for SD ``clip_eval.py:531-547``, hydra for proteins
+``superdiff/inference.py:226``):
+
+  python -m superdiff_tpu.cli cifar --mode train --config vpsde --workdir w
+  python -m superdiff_tpu.cli cifar --mode eval_joint_fid --chkpts a,b --stoch
+  python -m superdiff_tpu.cli sd --method and --obj "a cat" --bg "a dog"
+  python -m superdiff_tpu.cli protein --length 100 --operator OR
+
+Every run writes a config snapshot + metrics JSONL next to its outputs
+(the reference's hydra-snapshot behavior, ``inference.py:181-182``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _snapshot(args, workdir: str):
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config_snapshot.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+
+def cmd_cifar(args):
+    from .pipelines import cifar as C
+
+    cfg = C.CONFIGS[args.config]()
+    if args.batch_size:
+        cfg.batch_size = args.batch_size
+    _snapshot(args, args.workdir)
+    if args.mode == "train":
+        C.train(cfg, args.workdir, n_iters=args.n_iters)
+    elif args.mode == "eval_fid":
+        print(C.evaluate_fid(cfg, args.workdir, stoch=args.stoch,
+                             stats_path=args.stats_path,
+                             inception_weights=args.inception_weights))
+    elif args.mode == "eval_joint_fid":
+        chkpts = args.chkpts.split(",")
+        print(C.evaluate_joint_fid(cfg, args.workdir, chkpts, stoch=args.stoch,
+                                   stats_path=args.stats_path,
+                                   inception_weights=args.inception_weights))
+    else:
+        raise SystemExit(f"unknown cifar mode {args.mode}")
+
+
+def cmd_sd(args):
+    import numpy as np
+
+    from .pipelines import sd as S
+    from .eval import clip_metrics
+
+    cfg = S.SDPipelineConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        height=args.height, width=args.width,
+        temperature=args.T, logp=args.logp, lift=args.lift,
+    )
+    import jax
+
+    mod = S.build_sd_modules(
+        jax.random.PRNGKey(0), weights_dir=args.weights_dir,
+        height=args.height, width=args.width,
+    )
+    _snapshot(args, args.out_dir)
+    out = S.generate(
+        mod, args.method, args.obj, args.bg,
+        seed=args.seed, batch_size=args.batch_size, cfg=cfg,
+    )
+    method_dir = os.path.join(args.out_dir, args.method if args.T == 1 else f"{args.method}_T{args.T}")
+    pair = f"{args.obj.replace(' ', '_')}_and_{args.bg.replace(' ', '_')}"
+    img_dir = os.path.join(method_dir, pair)
+    os.makedirs(img_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(img_dir, "latents.npz"), latents=np.asarray(out["latents"]))
+    try:
+        from PIL import Image
+
+        for i, img in enumerate(out["images"]):
+            Image.fromarray(img).save(os.path.join(img_dir, f"{i}.png"))
+    except Exception:
+        pass
+    metrics = {}
+    scorer = clip_metrics.get_clip_scorer()
+    if scorer is not None:
+        metrics["clip"] = scorer(out["images"], args.obj, args.bg)
+    ir = clip_metrics.get_image_reward_scorer()
+    if ir is not None:
+        metrics["image_reward"] = ir(out["images"], args.obj, args.bg)
+    metrics["final_ll_obj"] = np.asarray(out["traces"]["final_ll_obj"]).tolist()
+    metrics["final_ll_bg"] = np.asarray(out["traces"]["final_ll_bg"]).tolist()
+    mdir = os.path.join(args.out_dir, f"metrics_{args.method}")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"metrics_{args.method}_{pair}.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps({k: v for k, v in metrics.items() if "ll" in k}))
+
+
+def cmd_protein(args):
+    import jax
+    import numpy as np
+
+    from .models.protein import IPAConfig, IPAScoreNetwork, SE3Diffuser, backbone, rigid
+    from .pipelines.protein import CompositionConfig, compose
+
+    se3 = SE3Diffuser.default()
+    cfg = CompositionConfig(
+        num_t=args.num_t, min_t=args.min_t,
+        mixing_method=args.mixing_method, kappa_operator=args.operator,
+        temp_trans=args.temp_trans, temp_rots=args.temp_rots,
+        logp_trans=args.logp_trans, logp_rots=args.logp_rots,
+        noise_scale=args.noise_scale, stochastic=args.stochastic,
+    )
+    _snapshot(args, args.out_dir)
+    net_a = IPAScoreNetwork(IPAConfig.proteus_like(), se3)
+    net_b = IPAScoreNetwork(IPAConfig.framediff_like(), se3)
+    n = args.length
+    feats0 = {
+        "rigids_t": rigid.rigid_identity((1, n)),
+        "res_mask": jax.numpy.ones((1, n)),
+        "fixed_mask": jax.numpy.zeros((1, n)),
+        "t": jax.numpy.ones((1,)),
+        "seq_idx": jax.numpy.arange(n)[None],
+        "sc_ca_t": jax.numpy.zeros((1, n, 3)),
+    }
+    pa = _load_or_init(net_a, feats0, args.ckpt_a, jax.random.PRNGKey(1))
+    pb = _load_or_init(net_b, feats0, args.ckpt_b, jax.random.PRNGKey(2))
+
+    def model_a(feats, t):
+        return net_a.apply({"params": pa}, feats)
+
+    def model_b(feats, t):
+        return net_b.apply({"params": pb}, feats)
+
+    for seed in range(args.seed, args.seed + args.num_seeds):
+        out_path = os.path.join(args.out_dir, f"len_{n}_seed_{seed}.pdb")
+        if os.path.exists(out_path) and not args.overwrite:
+            # idempotent skip-if-done resume (inference.py:187-189)
+            print(f"skip existing {out_path}")
+            continue
+        out = compose(jax.random.PRNGKey(seed), model_a, model_b, se3, n_res=n, cfg=cfg)
+        pdb = backbone.to_pdb(np.asarray(out["atom37"][0]))
+        with open(out_path, "w") as f:
+            f.write(pdb)
+        tr = out["traces"]
+        print(json.dumps({
+            "seed": seed,
+            "kappa_trans_last": float(np.asarray(tr["kappa_trans"])[-1, 0]),
+            "ll_a_trans": float(np.asarray(tr["ll_a_trans"])[-1, 0]),
+            "ll_b_trans": float(np.asarray(tr["ll_b_trans"])[-1, 0]),
+            "pdb": out_path,
+        }))
+
+
+def _load_or_init(net, feats0, ckpt: str, key):
+    if ckpt and os.path.exists(ckpt):
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(ckpt)
+    return net.init(key, feats0)["params"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="superdiff_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("cifar", help="CIFAR train/eval (cifar/main.py modes)")
+    c.add_argument("--mode", required=True,
+                   choices=["train", "eval_fid", "eval_joint_fid"])
+    c.add_argument("--config", default="vpsde", choices=["vpsde", "vpsdeA", "vpsdeB", "vpsde_less_5", "vpsde_more_5"])
+    c.add_argument("--workdir", default="./runs/cifar")
+    c.add_argument("--chkpts", default="", help="comma-separated checkpoint dirs for joint eval")
+    c.add_argument("--stoch", action="store_true")
+    c.add_argument("--n_iters", type=int, default=None)
+    c.add_argument("--batch_size", type=int, default=None)
+    c.add_argument("--stats_path", default=None)
+    c.add_argument("--inception_weights", default=None)
+    c.set_defaults(fn=cmd_cifar)
+
+    s = sub.add_parser("sd", help="Stable-Diffusion composition (clip_eval.py)")
+    s.add_argument("--method", default="and", choices=list(__import__(
+        "superdiff_tpu.pipelines.sd", fromlist=["METHODS"]).METHODS))
+    s.add_argument("--obj", default="a cat")
+    s.add_argument("--bg", default="a dog")
+    s.add_argument("--num_inference_steps", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=1)
+    s.add_argument("--batch_size", type=int, default=6)
+    s.add_argument("--height", type=int, default=512)
+    s.add_argument("--width", type=int, default=512)
+    s.add_argument("--T", type=float, default=1.0)
+    s.add_argument("--logp", type=float, default=0.0)
+    s.add_argument("--lift", type=float, default=0.0)
+    s.add_argument("--guidance_scale", type=float, default=7.5)
+    s.add_argument("--weights_dir", default=None)
+    s.add_argument("--out_dir", default="./runs/sd")
+    s.set_defaults(fn=cmd_sd)
+
+    pr = sub.add_parser("protein", help="SE(3) composition (superdiff/inference.py)")
+    pr.add_argument("--length", type=int, default=100)
+    pr.add_argument("--num_t", type=int, default=500)
+    pr.add_argument("--min_t", type=float, default=0.002)
+    pr.add_argument("--mixing_method", default="composition",
+                    choices=["composition", "mixture", "baseline_a", "baseline_b"])
+    pr.add_argument("--operator", default="OR", choices=["OR", "AND"])
+    pr.add_argument("--temp_trans", type=float, default=1.0)
+    pr.add_argument("--temp_rots", type=float, default=1.0)
+    pr.add_argument("--logp_trans", type=float, default=0.0)
+    pr.add_argument("--logp_rots", type=float, default=0.0)
+    pr.add_argument("--noise_scale", type=float, default=1.0)
+    pr.add_argument("--stochastic", action="store_true")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--num_seeds", type=int, default=1)
+    pr.add_argument("--ckpt_a", default=None)
+    pr.add_argument("--ckpt_b", default=None)
+    pr.add_argument("--overwrite", action="store_true")
+    pr.add_argument("--out_dir", default="./runs/protein")
+    pr.set_defaults(fn=cmd_protein)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ class SuperposeConfig:
     operator: str = "or"  # "or" | "avg"
     or_temperature: float = 1e6
     score_eps: float = 1e-3
+    fused_kernel: bool = False  # Pallas fused epilogue (TPU, SDE+OR only)
 
     @property
     def dt(self) -> float:
@@ -84,10 +85,18 @@ def sde_step(
     """
     sscores = score_fn(t, x)  # (N, B, *e)
     n_models = sscores.shape[0]
-    w = _weights(logq, cfg, n_models)
-    balanced = _mix(w, sscores)
     da, beta, sigma = schedule.dlog_alpha_dt(t), schedule.beta(t), schedule.sigma(t)
     eps = jax.random.normal(key, x.shape, dtype=x.dtype)
+    if cfg.fused_kernel and cfg.operator == "or":
+        # single-HBM-pass Pallas epilogue (ops/pallas/fused_step.py)
+        from ..ops.pallas.fused_step import fused_sde_step
+
+        return fused_sde_step(
+            sscores, x, eps, logq, da, beta, sigma, dt,
+            temperature=cfg.or_temperature,
+        )
+    w = _weights(logq, cfg, n_models)
+    balanced = _mix(w, sscores)
     dx = -dt * (da * x - 2.0 * beta * balanced) + jnp.sqrt(2.0 * sigma * beta * dt) * eps
     dlogq = ito.dlogq_sde_vp(sscores, x, dx, t, dt, schedule)
     new_logq = ito.renormalize_logq(logq + dlogq)

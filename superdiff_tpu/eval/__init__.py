@@ -1,3 +1,3 @@
-from . import fid
+from . import aggregate, bpd, clip_metrics, fid, nll
 
-__all__ = ["fid"]
+__all__ = ["aggregate", "bpd", "clip_metrics", "fid", "nll"]

@@ -26,9 +26,19 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..unet import GroupNorm32, timestep_embedding
+from ..unet import GroupNorm32
 
 Array = jax.Array
+
+
+def sd_timestep_embedding(t: Array, dim: int, max_period: float = 10_000.0) -> Array:
+    """Diffusers ``Timesteps`` convention: exponent ``arange(half)/half``
+    (freq_shift 0) and cos-first ordering (``flip_sin_to_cos=True``) — must
+    match exactly for converted HF weights to be usable."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32).reshape(-1, 1) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,10 +187,9 @@ class SDUNet(nn.Module):
     def __call__(self, x: Array, t: Array, context: Array) -> Array:
         cfg = self.config
         ch0 = cfg.block_out_channels[0]
-        temb = timestep_embedding(
+        temb = sd_timestep_embedding(
             jnp.broadcast_to(jnp.atleast_1d(t), (x.shape[0],)), ch0
         )
-        # diffusers flips sin/cos order relative to DDPM; handled in convert.py.
         temb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_1")(temb.astype(self.dtype))
         temb = nn.Dense(ch0 * 4, dtype=self.dtype, name="time_embed_2")(nn.swish(temb))
         context = context.astype(self.dtype)

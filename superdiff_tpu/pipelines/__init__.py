@@ -1,3 +1,3 @@
-from . import cifar
+from . import cifar, sd, protein
 
-__all__ = ["cifar"]
+__all__ = ["cifar", "sd", "protein"]
