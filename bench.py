@@ -15,9 +15,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 BASELINE_IMG_PER_SEC = 10.0  # driver-supplied target (BASELINE.md)
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -50,15 +55,24 @@ def main():
 
     run = sdp.make_sampler(mod, "or", cfg)
 
-    # warmup / compile
-    lat, _ = run(krun, ctx_obj, ctx_bg, ctx_unc)
-    jax.block_until_ready(lat)
+    def run_synced(key):
+        lat, _ = run(key, ctx_obj, ctx_bg, ctx_unc)
+        # A host transfer is the only reliable completion barrier on remote
+        # (tunneled) TPU runtimes; block_until_ready can return early there.
+        return float(lat.sum())
+
+    # warmup: compile + one full executed trajectory
+    t0 = time.perf_counter()
+    run_synced(krun)
+    _log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    run_synced(jax.random.fold_in(krun, 999))
+    _log(f"second warmup run: {time.perf_counter() - t0:.1f}s")
 
     n_rep = 2
     t0 = time.perf_counter()
     for i in range(n_rep):
-        lat, _ = run(jax.random.fold_in(krun, i), ctx_obj, ctx_bg, ctx_unc)
-    jax.block_until_ready(lat)
+        run_synced(jax.random.fold_in(krun, i))
     dt = (time.perf_counter() - t0) / n_rep
 
     imgs_per_sec = batch_size / dt

@@ -1,3 +1,12 @@
-from . import aggregate, bpd, clip_metrics, fid, nll
+from . import aggregate, bpd, clip_metrics, fid, nll, self_consistency, struct_metrics, tifa
 
-__all__ = ["aggregate", "bpd", "clip_metrics", "fid", "nll"]
+__all__ = [
+    "aggregate",
+    "bpd",
+    "clip_metrics",
+    "fid",
+    "nll",
+    "self_consistency",
+    "struct_metrics",
+    "tifa",
+]

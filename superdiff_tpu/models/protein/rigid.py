@@ -88,30 +88,43 @@ def rotmat_to_quat(m: Array) -> Array:
 
 
 def rotvec_to_rotmat(v: Array, eps: float = 1e-8) -> Array:
-    """Axis-angle (rotation vector) -> rotation matrix via Rodrigues."""
-    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    safe = jnp.maximum(theta, eps)
-    axis = v / safe
-    kx, ky, kz = axis[..., 0], axis[..., 1], axis[..., 2]
+    """Axis-angle (rotation vector) -> rotation matrix via Rodrigues.
+
+    Gradient-safe at theta=0 (where zero-init update heads live): the
+    singular ``sin(theta)/theta`` factors are computed with the double-where
+    trick against their Taylor expansions, so both value AND gradient are
+    exact and finite at the origin.
+    """
+    theta2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = theta2 < eps
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(theta2_safe)
+    # A = sin(t)/t, B = (1-cos(t))/t^2 with removable singularities
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    kx, ky, kz = v[..., 0], v[..., 1], v[..., 2]
     zero = jnp.zeros_like(kx)
-    k = jnp.stack([zero, -kz, ky, kz, zero, -kx, -ky, kx, zero], axis=-1)
-    k = k.reshape(v.shape[:-1] + (3, 3))
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), k.shape)
-    r = eye + s * k + (1.0 - c) * (k @ k)
-    # theta -> 0: exact identity (avoids 0/0 in axis)
-    return jnp.where(theta[..., None] < eps, eye, r)
+    K = jnp.stack([zero, -kz, ky, kz, zero, -kx, -ky, kx, zero], axis=-1)
+    K = K.reshape(v.shape[:-1] + (3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
+    return eye + A[..., None] * K + B[..., None] * (K @ K)
 
 
-def rotmat_to_rotvec(m: Array, eps: float = 1e-8) -> Array:
-    """Rotation matrix -> axis-angle via the quaternion logarithm."""
+def rotmat_to_rotvec(m: Array, eps: float = 1e-12) -> Array:
+    """Rotation matrix -> axis-angle via the quaternion logarithm.
+
+    Gradient-safe at the identity (norm(xyz)=0): ``2*atan2(n, w)/n`` has the
+    smooth limit ``2/w``; both branches are evaluated on safe inputs via the
+    double-where trick.
+    """
     q = rotmat_to_quat(m)
-    w = jnp.clip(q[..., 0], -1.0, 1.0)
+    w = q[..., :1]
     xyz = q[..., 1:]
-    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    theta = 2.0 * jnp.arctan2(norm.squeeze(-1), w)[..., None]
-    scale = jnp.where(norm > eps, theta / jnp.maximum(norm, eps), 2.0)
+    n2 = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = n2 < eps
+    n_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(n2), n2))
+    theta = 2.0 * jnp.arctan2(n_safe, w)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 0.5), theta / n_safe)
     return xyz * scale
 
 

@@ -127,8 +127,10 @@ class SO3Diffuser:
         strict accuracy improvement over the reference's piecewise-constant
         bucketize (``so3_diffuser.py:294-307``) at identical device cost.
         ``t`` may be scalar or any shape broadcastable to ``rotvec[..., 0]``
-        (per-batch times, as the score-network heads pass)."""
-        omega = jnp.linalg.norm(rotvec, axis=-1) + eps  # (...)
+        (per-batch times, as the score-network heads pass). The angle uses a
+        smoothed norm so the gradient is finite at rotvec = 0 (the identity
+        relative rotation a zero-init score head produces)."""
+        omega = jnp.sqrt(jnp.sum(rotvec * rotvec, axis=-1) + eps * eps)  # (...)
         rows = self.tables.score_norm[self.t_to_idx(jnp.asarray(t))]
         rows = jnp.broadcast_to(rows, omega.shape + rows.shape[-1:])
         omegas = self.tables.omegas
@@ -145,13 +147,26 @@ class SO3Diffuser:
 
     # -- sampling -------------------------------------------------------
     def sample(self, key: Array, t, shape) -> Array:
-        """Sample axis-angle rotations from IGSO(3) via inverse CDF."""
+        """Sample axis-angle rotations from IGSO(3) via inverse CDF.
+
+        ``t`` may be scalar or broadcastable to ``shape`` (per-sample times,
+        as SE(3) DSM training draws); the inverse-CDF interpolation is done
+        row-wise with gathers (batched ``np.interp`` equivalent).
+        """
         k1, k2 = jax.random.split(key)
         axis = jax.random.normal(k1, shape + (3,))
         axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True).clip(1e-12)
         u = jax.random.uniform(k2, shape)
-        cdf_row = self.tables.cdf[self.t_to_idx(t)]
-        angle = jnp.interp(u, cdf_row, self.tables.omegas)
+        rows = self.tables.cdf[self.t_to_idx(jnp.asarray(t))]
+        rows = jnp.broadcast_to(rows, shape + rows.shape[-1:])
+        # inverse CDF: index of the first grid point with cdf >= u
+        idx = jnp.sum((rows < u[..., None]).astype(jnp.int32), axis=-1)
+        idx = jnp.clip(idx, 1, rows.shape[-1] - 1)
+        c0 = jnp.take_along_axis(rows, (idx - 1)[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(rows, idx[..., None], axis=-1)[..., 0]
+        o0, o1 = self.tables.omegas[idx - 1], self.tables.omegas[idx]
+        w = jnp.clip((u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0)
+        angle = o0 + w * (o1 - o0)
         return axis * angle[..., None]
 
     def sample_ref(self, key: Array, shape) -> Array:

@@ -96,11 +96,19 @@ def build_sd_modules(
     text = CLIPTextEncoder(tcfg, dtype=dtype)
     vae = VAEDecoder(vcfg, dtype=dtype)
     k1, k2, k3 = jax.random.split(key, 3)
-    lat = jnp.zeros((1, height // 8, width // 8, ucfg.in_channels))
+    # Param shapes are spatial-size independent: init at the smallest legal
+    # spatial extent, under jit — eager init dispatches thousands of tiny ops
+    # (catastrophically slow over a remote-device tunnel).
+    min_hw = 8 * (2 ** max(len(ucfg.block_out_channels), len(vcfg.channel_mults)))
+    lat = jnp.zeros((1, min_hw // 8, min_hw // 8, ucfg.in_channels))
     ctx = jnp.zeros((1, tcfg.max_length, ucfg.cross_attention_dim))
-    unet_params = unet.init(k1, lat, jnp.zeros(()), ctx)["params"]
-    text_params = text.init(k2, jnp.zeros((1, tcfg.max_length), jnp.int32))["params"]
-    vae_params = vae.init(k3, jnp.zeros((1, height // 8, width // 8, vcfg.latent_channels)))["params"]
+    unet_params = jax.jit(unet.init)(k1, lat, jnp.zeros(()), ctx)["params"]
+    text_params = jax.jit(text.init)(
+        k2, jnp.zeros((1, tcfg.max_length), jnp.int32)
+    )["params"]
+    vae_params = jax.jit(vae.init)(
+        k3, jnp.zeros((1, min_hw // 8, min_hw // 8, vcfg.latent_channels))
+    )["params"]
     if weights_dir:
         from ..models.sd import convert
 
