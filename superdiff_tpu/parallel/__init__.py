@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     make_mesh,
     data_sharding,

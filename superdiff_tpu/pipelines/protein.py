@@ -50,6 +50,10 @@ class CompositionConfig:
     noise_scale: float = 1.0
     stochastic: bool = True
     center: bool = True
+    # fraction of steps on which the proteus-role model gets sequence
+    # conditioning (struct2seq/ESM gating sub-schedule,
+    # ``composition.py:184-187,446-449``); 0 disables (the shipped default).
+    esm_rate: float = 0.0
 
 
 ModelFn = Callable[[dict, Array], dict]
@@ -120,8 +124,16 @@ def compose(
         so3.sigma(t), so3.min_sigma, so3.max_sigma, n_res * 3
     )
 
-    def feats_for(rigids_t, t, sc_ca):
-        return {
+    # struct2seq gating: evenly-spaced subset of steps is flagged True for
+    # the proteus-role model (reverse_steps_esm construction)
+    num_esm = int(cfg.esm_rate * cfg.num_t)
+    esm_flags = np.zeros(cfg.num_t, dtype=np.float32)
+    if num_esm > 0:
+        esm_flags[np.linspace(0, cfg.num_t - 1, num_esm, dtype=int)] = 1.0
+    esm_flags = jnp.asarray(esm_flags[: cfg.num_t - 1])
+
+    def feats_for(rigids_t, t, sc_ca, struct2seq=None):
+        f = {
             "rigids_t": rigids_t,
             "res_mask": mask,
             "fixed_mask": fmask,
@@ -129,16 +141,19 @@ def compose(
             "seq_idx": seq_idx,
             "sc_ca_t": sc_ca,
         }
+        if struct2seq is not None:
+            f["struct2seq"] = struct2seq
+        return f
 
     zeros_ll = jnp.zeros((batch,), jnp.float32)
 
     def body(carry, inp):
         rigids_t, sc_a, sc_b, ll_a_tr, ll_b_tr, ll_a_ro, ll_b_ro = carry
-        i, t = inp
+        i, t, s2s = inp
         step_key = jax.random.fold_in(key, i)
         k_eps, k_rev = jax.random.split(step_key)
 
-        out_a = model_a(feats_for(rigids_t, t, sc_a), t)
+        out_a = model_a(feats_for(rigids_t, t, sc_a, struct2seq=s2s), t)
         out_b = model_b(feats_for(rigids_t, t, sc_b), t)
         s_a_tr, s_b_tr = out_a["trans_score"], out_b["trans_score"]
         s_a_ro, s_b_ro = out_a["rot_score"], out_b["rot_score"]
@@ -208,7 +223,7 @@ def compose(
 
     sc0 = rigid.rigid_trans(init_rigids)
     carry0 = (init_rigids, sc0, sc0, zeros_ll, zeros_ll, zeros_ll, zeros_ll)
-    steps = (jnp.arange(cfg.num_t - 1), ts)
+    steps = (jnp.arange(cfg.num_t - 1), ts, esm_flags)
     (final_rigids, *_), traces = jax.lax.scan(body, carry0, steps)
 
     atom37 = to_atom37(final_rigids)

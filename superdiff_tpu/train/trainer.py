@@ -65,8 +65,10 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable,
     mesh: Optional[Mesh] = None,
-    donate: bool = True,
+    donate: bool = False,
 ):
+    # donate=True halves state memory (in-place update) but is rejected by
+    # some remote-device runtimes (axon tunnel: InvalidArgument); opt-in.
     """Build the jitted DSM train step.
 
     ``loss_fn(key, params, sampler_state, batch) -> (loss, next_sampler_state)``.

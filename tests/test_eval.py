@@ -113,3 +113,24 @@ def test_aggregate_and_or_scores(tmp_path):
     np.testing.assert_allclose(a["min_mean"], 1.0)
     o = aggregate.or_scores(df)
     np.testing.assert_allclose(o["max_mean"], 2.5)
+
+
+def test_fld_prefers_matching_distribution():
+    """FLD is lower for generated features matching train/test than for a
+    shifted distribution, and higher for memorized (train-copy) samples
+    evaluated against held-out test data."""
+    from superdiff_tpu.eval import fld as fld_mod
+
+    rng = np.random.default_rng(0)
+    d = 8
+    train = rng.normal(size=(400, d))
+    test = rng.normal(size=(400, d))
+    good_gen = rng.normal(size=(200, d))
+    shifted_gen = rng.normal(size=(200, d)) + 3.0
+    f_good = fld_mod.fld(good_gen, train, test, n_steps=60)
+    f_bad = fld_mod.fld(shifted_gen, train, test, n_steps=60)
+    assert f_good < f_bad, (f_good, f_bad)
+    # memorization: exact train copies overfit train -> worse on test
+    memorized = train[:200].copy()
+    f_mem = fld_mod.fld(memorized, train, test, n_steps=60)
+    assert f_good <= f_mem + 0.05, (f_good, f_mem)
