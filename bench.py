@@ -30,6 +30,9 @@ def main():
     import jax.numpy as jnp
 
     import superdiff_tpu  # noqa: F401
+    from superdiff_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from superdiff_tpu.pipelines import sd as sdp
     from superdiff_tpu.models.sd.clip import CLIPTextConfig
 

@@ -47,6 +47,8 @@ def cmd_cifar(args):
         print(C.evaluate_joint_fid(cfg, args.workdir, chkpts, stoch=args.stoch,
                                    stats_path=args.stats_path,
                                    inception_weights=args.inception_weights))
+    elif args.mode == "fid_stats":
+        print(C.fid_stats(cfg, args.workdir, inception_weights=args.inception_weights))
     else:
         raise SystemExit(f"unknown cifar mode {args.mode}")
 
@@ -172,7 +174,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("cifar", help="CIFAR train/eval (cifar/main.py modes)")
     c.add_argument("--mode", required=True,
-                   choices=["train", "eval_fid", "eval_joint_fid"])
+                   choices=["train", "eval_fid", "eval_joint_fid", "fid_stats"])
     c.add_argument("--config", default="vpsde", choices=["vpsde", "vpsdeA", "vpsdeB", "vpsde_less_5", "vpsde_more_5"])
     c.add_argument("--workdir", default="./runs/cifar")
     c.add_argument("--chkpts", default="", help="comma-separated checkpoint dirs for joint eval")
@@ -225,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -160,6 +160,39 @@ class ImageDataset:
                 return
 
 
+class PrefetchIterator:
+    """Background-thread prefetcher: overlaps host batch prep (dequantize,
+    flip, scale) with device compute. The reference leans on tf.data's
+    threading (``cifar/datasets.py:156-158``); this is the dependency-free
+    equivalent for the numpy pipeline."""
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
 def get_image_scaler(centered: bool = True):
     return (lambda x: x * 2.0 - 1.0) if centered else (lambda x: x)
 

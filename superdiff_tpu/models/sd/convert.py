@@ -161,6 +161,90 @@ def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping) -> int:
     return applied
 
 
+def clip_text_mapping(num_layers: int = 12):
+    """(flax path, hf tensor name, transform) for the CLIP text tower."""
+    pre = "text_model"
+    m = [
+        ("token_embedding/embedding", f"{pre}.embeddings.token_embedding.weight", None),
+        ("position_embedding", f"{pre}.embeddings.position_embedding.weight", None),
+        ("final_layer_norm/scale", f"{pre}.final_layer_norm.weight", None),
+        ("final_layer_norm/bias", f"{pre}.final_layer_norm.bias", None),
+    ]
+    for i in range(num_layers):
+        src = f"{pre}.encoder.layers.{i}"
+        dst = f"layer_{i}"
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            m += [
+                (f"{dst}/self_attn/{p}/kernel", f"{src}.self_attn.{p}.weight", _lin),
+                (f"{dst}/self_attn/{p}/bias", f"{src}.self_attn.{p}.bias", None),
+            ]
+        for ln in ("layer_norm1", "layer_norm2"):
+            m += [
+                (f"{dst}/{ln}/scale", f"{src}.{ln}.weight", None),
+                (f"{dst}/{ln}/bias", f"{src}.{ln}.bias", None),
+            ]
+        m += [
+            (f"{dst}/fc1/kernel", f"{src}.mlp.fc1.weight", _lin),
+            (f"{dst}/fc1/bias", f"{src}.mlp.fc1.bias", None),
+            (f"{dst}/fc2/kernel", f"{src}.mlp.fc2.weight", _lin),
+            (f"{dst}/fc2/bias", f"{src}.mlp.fc2.bias", None),
+        ]
+    return m
+
+
+def _vae_resnet(dst: str, src: str):
+    return [
+        (f"{dst}/norm1/GroupNorm_0/scale", f"{src}.norm1.weight", None),
+        (f"{dst}/norm1/GroupNorm_0/bias", f"{src}.norm1.bias", None),
+        (f"{dst}/conv1/kernel", f"{src}.conv1.weight", _conv),
+        (f"{dst}/conv1/bias", f"{src}.conv1.bias", None),
+        (f"{dst}/norm2/GroupNorm_0/scale", f"{src}.norm2.weight", None),
+        (f"{dst}/norm2/GroupNorm_0/bias", f"{src}.norm2.bias", None),
+        (f"{dst}/conv2/kernel", f"{src}.conv2.weight", _conv),
+        (f"{dst}/conv2/bias", f"{src}.conv2.bias", None),
+        (f"{dst}/shortcut/kernel", f"{src}.conv_shortcut.weight", _conv),
+        (f"{dst}/shortcut/bias", f"{src}.conv_shortcut.bias", None),
+    ]
+
+
+def vae_decoder_mapping(n_levels: int = 4, layers_per_block: int = 2):
+    """(flax path, hf tensor name, transform) for the VAE decoder path."""
+    m = [
+        ("post_quant_conv/kernel", "post_quant_conv.weight", _conv),
+        ("post_quant_conv/bias", "post_quant_conv.bias", None),
+        ("conv_in/kernel", "decoder.conv_in.weight", _conv),
+        ("conv_in/bias", "decoder.conv_in.bias", None),
+        ("norm_out/GroupNorm_0/scale", "decoder.conv_norm_out.weight", None),
+        ("norm_out/GroupNorm_0/bias", "decoder.conv_norm_out.bias", None),
+        ("conv_out/kernel", "decoder.conv_out.weight", _conv),
+        ("conv_out/bias", "decoder.conv_out.bias", None),
+    ]
+    m += _vae_resnet("mid_res_0", "decoder.mid_block.resnets.0")
+    m += _vae_resnet("mid_res_1", "decoder.mid_block.resnets.1")
+    att = "decoder.mid_block.attentions.0"
+    m += [
+        ("mid_attn/norm/GroupNorm_0/scale", f"{att}.group_norm.weight", None),
+        ("mid_attn/norm/GroupNorm_0/bias", f"{att}.group_norm.bias", None),
+        ("mid_attn/q/kernel", f"{att}.to_q.weight", _proj_conv_or_lin),
+        ("mid_attn/q/bias", f"{att}.to_q.bias", None),
+        ("mid_attn/k/kernel", f"{att}.to_k.weight", _proj_conv_or_lin),
+        ("mid_attn/k/bias", f"{att}.to_k.bias", None),
+        ("mid_attn/v/kernel", f"{att}.to_v.weight", _proj_conv_or_lin),
+        ("mid_attn/v/bias", f"{att}.to_v.bias", None),
+        ("mid_attn/proj_out/kernel", f"{att}.to_out.0.weight", _proj_conv_or_lin),
+        ("mid_attn/proj_out/bias", f"{att}.to_out.0.bias", None),
+    ]
+    for i in range(n_levels):
+        for j in range(layers_per_block + 1):
+            m += _vae_resnet(f"up_{i}_res_{j}", f"decoder.up_blocks.{i}.resnets.{j}")
+        if i != n_levels - 1:
+            m += [
+                (f"up_{i}_conv/kernel", f"decoder.up_blocks.{i}.upsamplers.0.conv.weight", _conv),
+                (f"up_{i}_conv/bias", f"decoder.up_blocks.{i}.upsamplers.0.conv.bias", None),
+            ]
+    return m
+
+
 def load_sd_weights(weights_dir: str, unet_params, text_params, vae_params):
     """Load an HF snapshot directory; returns possibly-updated param trees."""
     unet_t = _load_safetensors(
@@ -169,6 +253,16 @@ def load_sd_weights(weights_dir: str, unet_params, text_params, vae_params):
     if unet_t:
         n = apply_mapping(unet_params, unet_t, unet_mapping())
         assert n > 400, f"unet conversion too sparse: {n} tensors"
-    # text encoder + VAE mappings follow the same pattern; they activate when
-    # the snapshot provides the files. (Completed alongside real weights.)
+    text_t = _load_safetensors(
+        os.path.join(weights_dir, "text_encoder", "model.safetensors")
+    )
+    if text_t:
+        n = apply_mapping(text_params, text_t, clip_text_mapping())
+        assert n > 100, f"clip conversion too sparse: {n} tensors"
+    vae_t = _load_safetensors(
+        os.path.join(weights_dir, "vae", "diffusion_pytorch_model.safetensors")
+    )
+    if vae_t:
+        n = apply_mapping(vae_params, vae_t, vae_decoder_mapping())
+        assert n > 60, f"vae conversion too sparse: {n} tensors"
     return unet_params, text_params, vae_params

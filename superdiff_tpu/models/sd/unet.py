@@ -76,12 +76,19 @@ class SDUNetConfig:
 
 
 class CrossAttention(nn.Module):
-    """Multi-head attention; self-attention when context is None."""
+    """Multi-head attention; self-attention when context is None.
+
+    ``attn_impl``: 'dpa' uses ``jax.nn.dot_product_attention`` (XLA-fused
+    softmax, avoids materializing fp32 logits — the memory bottleneck at
+    4096 tokens); 'einsum' is the explicit fp32-softmax path. Both are
+    forward-mode differentiable (the ODE estimator jvp's through either).
+    """
 
     query_dim: int
     heads: int
     context_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "dpa"
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
@@ -96,9 +103,13 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, head_dim)
         k = k.reshape(b, lk, self.heads, head_dim)
         v = v.reshape(b, lk, self.heads, head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        attn = jax.nn.softmax(logits * (head_dim**-0.5), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, lq, inner)
+        if self.attn_impl == "dpa":
+            out = jax.nn.dot_product_attention(q, k, v)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            attn = jax.nn.softmax(logits * (head_dim**-0.5), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(b, lq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
 

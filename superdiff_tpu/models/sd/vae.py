@@ -74,9 +74,10 @@ class VAEDecoder(nn.Module):
     def __call__(self, z: Array) -> Array:
         cfg = self.cfg
         chs = [cfg.base_channels * m for m in cfg.channel_mults]
-        h = nn.Conv(chs[-1], (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(
-            z.astype(self.dtype)
-        )
+        z = nn.Conv(
+            cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
+        )(z.astype(self.dtype))
+        h = nn.Conv(chs[-1], (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(z)
         h = VAEResnet(chs[-1], self.dtype, name="mid_res_0")(h)
         h = VAEAttn(self.dtype, name="mid_attn")(h)
         h = VAEResnet(chs[-1], self.dtype, name="mid_res_1")(h)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import SuperposeConfig, VPSchedule, make_dsm_loss, superpose
-from ..data.datasets import ImageDataset, get_image_inverse_scaler
+from ..data.datasets import ImageDataset, PrefetchIterator, get_image_inverse_scaler
 from ..eval import fid as fid_lib
 from ..models import ScoreUNet, make_stacked_score_fn, stack_params
 from ..parallel import make_mesh, shard_batch
@@ -159,7 +159,10 @@ def make_generator(
 
     score_fn = make_stacked_score_fn(apply_eval, stacked, labels=labels)
     sp_cfg = SuperposeConfig(
-        n_steps=n_steps or cfg.n_sample_steps, mode=mode, operator=operator
+        n_steps=n_steps or cfg.n_sample_steps, mode=mode, operator=operator,
+        # fused Pallas epilogue: measured +4% throughput and ~3x faster
+        # compile for the 200-step joint sampler on v5e
+        fused_kernel=(jax.default_backend() == "tpu" and mode == "sde" and operator == "or"),
     )
     shape = (cfg.eval_batch_size, cfg.image_size, cfg.image_size, cfg.num_channels)
     n_models = len(params_list)
@@ -184,7 +187,7 @@ def train(cfg: CifarConfig, workdir: str, n_iters: Optional[int] = None):
     mesh = make_mesh(model=1)
     step_fn = make_train_step(opt, loss_fn, mesh=mesh)
     ds = ImageDataset(cfg.dataset, cfg.train_split, seed=cfg.seed)
-    it = ds.batches(cfg.batch_size)
+    it = PrefetchIterator(ds.batches(cfg.batch_size))
     logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
     initial = int(state.step)
@@ -254,3 +257,34 @@ def evaluate_joint_fid(
 def evaluate_fid(cfg, workdir, *, stoch=True, **kw):
     """Single-model FID via the averaged field of one model (``run_lib.py:129-198``)."""
     return evaluate_joint_fid(cfg, workdir, [workdir], stoch=stoch, operator="avg", **kw)
+
+
+def fid_stats(
+    cfg: CifarConfig,
+    workdir: str,
+    *,
+    fid_folder: str = "assets/stats",
+    inception_weights: Optional[str] = None,
+):
+    """Precompute dataset pool3 statistics (``run_lib.py:281-324``): one npz
+    per split in the reference's ``{dataset}_{split}_stats.npz`` format."""
+    feature_fn = fid_lib.get_inception_feature_fn(inception_weights)
+    if feature_fn is None:
+        raise RuntimeError(
+            "Inception weights unavailable; pass inception_weights=<local .h5>"
+        )
+    out_dir = os.path.join(workdir, fid_folder)
+    os.makedirs(out_dir, exist_ok=True)
+    for split in ("train", "test"):
+        ds = ImageDataset(cfg.dataset, split, seed=cfg.seed)
+        feats = []
+        for batch in ds.batches(
+            cfg.eval_batch_size, uniform_dequantization=False,
+            random_flip=False, scale_to_pm1=False, loop=False,
+        ):
+            imgs = (batch["image"] * 255).astype(np.uint8)
+            feats.append(feature_fn(imgs))
+        pools = np.concatenate(feats, axis=0)
+        path = os.path.join(out_dir, f"{cfg.dataset.lower()}_{split}_stats.npz")
+        np.savez_compressed(path, pool_3=pools)
+    return out_dir

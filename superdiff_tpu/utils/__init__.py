@@ -1,4 +1,5 @@
 from .logging import MetricLogger, Timer
-from . import profiling
+from .cache import enable_compilation_cache
+from . import images, profiling
 
-__all__ = ["MetricLogger", "Timer"]
+__all__ = ["MetricLogger", "Timer", "enable_compilation_cache", "images", "profiling"]
