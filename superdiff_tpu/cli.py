@@ -67,10 +67,23 @@ def cmd_sd(args):
     )
     import jax
 
-    mod = S.build_sd_modules(
-        jax.random.PRNGKey(0), weights_dir=args.weights_dir,
-        height=args.height, width=args.width,
-    )
+    if args.preset == "tiny":
+        from .models.sd.clip import CLIPTextConfig
+        from .models.sd.unet import SDUNetConfig
+        from .models.sd.vae import VAEConfig
+
+        mod = S.build_sd_modules(
+            jax.random.PRNGKey(0),
+            unet_config=SDUNetConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            height=args.height, width=args.width,
+        )
+    else:
+        mod = S.build_sd_modules(
+            jax.random.PRNGKey(0), weights_dir=args.weights_dir,
+            height=args.height, width=args.width,
+        )
     _snapshot(args, args.out_dir)
     out = S.generate(
         mod, args.method, args.obj, args.bg,
@@ -140,24 +153,31 @@ def cmd_protein(args):
     def model_b(feats, t):
         return net_b.apply({"params": pb}, feats)
 
-    for seed in range(args.seed, args.seed + args.num_seeds):
-        out_path = os.path.join(args.out_dir, f"len_{n}_seed_{seed}.pdb")
-        if os.path.exists(out_path) and not args.overwrite:
-            # idempotent skip-if-done resume (inference.py:187-189)
-            print(f"skip existing {out_path}")
-            continue
-        out = compose(jax.random.PRNGKey(seed), model_a, model_b, se3, n_res=n, cfg=cfg)
-        pdb = backbone.to_pdb(np.asarray(out["atom37"][0]))
-        with open(out_path, "w") as f:
-            f.write(pdb)
-        tr = out["traces"]
-        print(json.dumps({
-            "seed": seed,
-            "kappa_trans_last": float(np.asarray(tr["kappa_trans"])[-1, 0]),
-            "ll_a_trans": float(np.asarray(tr["ll_a_trans"])[-1, 0]),
-            "ll_b_trans": float(np.asarray(tr["ll_b_trans"])[-1, 0]),
-            "pdb": out_path,
-        }))
+    # seed-series over lengths (reference protocol: 50 seeds x lengths
+    # {100,150,200,250,300}, proteins/README.md:99)
+    lengths = [int(x) for x in args.lengths.split(",")] if args.lengths else [n]
+    for length in lengths:
+        for seed in range(args.seed, args.seed + args.num_seeds):
+            out_path = os.path.join(args.out_dir, f"len_{length}_seed_{seed}.pdb")
+            if os.path.exists(out_path) and not args.overwrite:
+                # idempotent skip-if-done resume (inference.py:187-189)
+                print(f"skip existing {out_path}")
+                continue
+            out = compose(
+                jax.random.PRNGKey(seed), model_a, model_b, se3, n_res=length, cfg=cfg
+            )
+            pdb = backbone.to_pdb(np.asarray(out["atom37"][0]))
+            with open(out_path, "w") as f:
+                f.write(pdb)
+            tr = out["traces"]
+            print(json.dumps({
+                "length": length,
+                "seed": seed,
+                "kappa_trans_last": float(np.asarray(tr["kappa_trans"])[-1, 0]),
+                "ll_a_trans": float(np.asarray(tr["ll_a_trans"])[-1, 0]),
+                "ll_b_trans": float(np.asarray(tr["ll_b_trans"])[-1, 0]),
+                "pdb": out_path,
+            }))
 
 
 def _load_or_init(net, feats0, ckpt: str, key):
@@ -200,11 +220,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lift", type=float, default=0.0)
     s.add_argument("--guidance_scale", type=float, default=7.5)
     s.add_argument("--weights_dir", default=None)
+    s.add_argument("--preset", default="sd15", choices=["sd15", "tiny"],
+                   help="tiny = 1/16-width stack for smoke runs without weights")
     s.add_argument("--out_dir", default="./runs/sd")
     s.set_defaults(fn=cmd_sd)
 
     pr = sub.add_parser("protein", help="SE(3) composition (superdiff/inference.py)")
     pr.add_argument("--length", type=int, default=100)
+    pr.add_argument("--lengths", default=None,
+                    help="comma list for a series run, e.g. 100,150,200,250,300")
     pr.add_argument("--num_t", type=int, default=500)
     pr.add_argument("--min_t", type=float, default=0.002)
     pr.add_argument("--mixing_method", default="composition",

@@ -42,8 +42,12 @@ def get_clip_scorer(
         import torch
         from transformers import CLIPModel, CLIPProcessor
 
-        model = CLIPModel.from_pretrained(model_name)
-        processor = CLIPProcessor.from_pretrained(model_name)
+        try:  # local cache first: avoids minutes of HTTP retries offline
+            model = CLIPModel.from_pretrained(model_name, local_files_only=True)
+            processor = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
+        except Exception:
+            model = CLIPModel.from_pretrained(model_name)
+            processor = CLIPProcessor.from_pretrained(model_name)
     except Exception:
         return None
 

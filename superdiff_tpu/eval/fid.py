@@ -94,6 +94,28 @@ def get_inception_feature_fn(weights_path: Optional[str] = None) -> Optional[Cal
     return feature_fn
 
 
+def get_inception_logits_fn(weights_path: Optional[str] = None) -> Optional[Callable]:
+    """Full InceptionV3 class-logits extractor for IS (the reference computes
+    IS from Inception's own final layer over pool3, ``evals.ipynb`` cell 13)."""
+    try:
+        import tensorflow as tf
+
+        model = tf.keras.applications.InceptionV3(include_top=True, weights=weights_path)
+    except Exception:
+        return None
+
+    def logits_fn(uint8_images: np.ndarray, batch_size: int = 256) -> np.ndarray:
+        outs = []
+        for i in range(0, len(uint8_images), batch_size):
+            x = uint8_images[i : i + batch_size].astype(np.float32)
+            x = tf.image.resize(x, (299, 299))
+            x = tf.keras.applications.inception_v3.preprocess_input(x)
+            outs.append(np.log(model(x, training=False).numpy() + 1e-10))
+        return np.concatenate(outs, axis=0)
+
+    return logits_fn
+
+
 def load_dataset_stats(path: str) -> np.ndarray:
     """Load precomputed pool3 stats npz (``evaluation.py:47-57`` format)."""
     with open(path, "rb") as f:

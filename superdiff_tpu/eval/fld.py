@@ -99,8 +99,12 @@ def get_dinov2_feature_fn() -> Optional[callable]:
         import torch
         from transformers import AutoImageProcessor, AutoModel
 
-        proc = AutoImageProcessor.from_pretrained("facebook/dinov2-base")
-        model = AutoModel.from_pretrained("facebook/dinov2-base")
+        try:
+            proc = AutoImageProcessor.from_pretrained("facebook/dinov2-base", local_files_only=True)
+            model = AutoModel.from_pretrained("facebook/dinov2-base", local_files_only=True)
+        except Exception:
+            proc = AutoImageProcessor.from_pretrained("facebook/dinov2-base")
+            model = AutoModel.from_pretrained("facebook/dinov2-base")
         model.eval()
     except Exception:
         return None

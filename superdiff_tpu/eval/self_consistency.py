@@ -77,8 +77,12 @@ def get_esmfold_refolder() -> Optional[Callable[[str], np.ndarray]]:
         import torch
         from transformers import AutoTokenizer, EsmForProteinFolding
 
-        tok = AutoTokenizer.from_pretrained("facebook/esmfold_v1")
-        model = EsmForProteinFolding.from_pretrained("facebook/esmfold_v1")
+        try:
+            tok = AutoTokenizer.from_pretrained("facebook/esmfold_v1", local_files_only=True)
+            model = EsmForProteinFolding.from_pretrained("facebook/esmfold_v1", local_files_only=True)
+        except Exception:
+            tok = AutoTokenizer.from_pretrained("facebook/esmfold_v1")
+            model = EsmForProteinFolding.from_pretrained("facebook/esmfold_v1")
         model.eval()
     except Exception:
         return None

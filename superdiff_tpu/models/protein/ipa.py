@@ -48,6 +48,12 @@ class IPAConfig:
     distogram_bins: int = 22
     coordinate_scaling: float = 0.1
     self_conditioning: bool = True
+    # Proteus-style locality: restrict attention to the k nearest residues
+    # by current CA distance (local triangle attention, k_neighbour=32,
+    # ``composition.yaml`` model.ipa.local_triangle_attention_new). None =
+    # full attention (FrameDiff). On TPU the mask bounds the *receptive
+    # field*, not the dense-pair cost (N <= 512 pair tensors are cheap).
+    local_attention_k: Optional[int] = None
 
     @staticmethod
     def framediff_like() -> "IPAConfig":
@@ -56,8 +62,12 @@ class IPAConfig:
     @staticmethod
     def proteus_like() -> "IPAConfig":
         """Higher-capacity second architecture for heterogeneous composition
-        (the role Proteus plays in ``composition.py:146-161``)."""
-        return IPAConfig(node_dim=384, edge_dim=160, num_blocks=6, num_heads=12)
+        (the role Proteus plays in ``composition.py:146-161``): deeper/wider
+        trunk + k-NN-local attention."""
+        return IPAConfig(
+            node_dim=384, edge_dim=160, num_blocks=6, num_heads=12,
+            local_attention_k=32,
+        )
 
     @staticmethod
     def tiny() -> "IPAConfig":
@@ -150,6 +160,15 @@ class InvariantPointAttention(nn.Module):
         logits = (scalar_logits + point_logits + edge_logits) / jnp.sqrt(3.0)
         neg = jnp.finfo(logits.dtype).min
         logits = jnp.where((mask[:, None, None, :] > 0), logits, neg)
+        if cfg.local_attention_k is not None and cfg.local_attention_k < n:
+            # k-NN locality by current CA distance (Proteus' local triangle
+            # attention): keep the k nearest keys per query.
+            d_ca = jnp.sum(
+                (trans[:, :, None, :] - trans[:, None, :, :]) ** 2, axis=-1
+            )  # (b, q, k)
+            kth = -jax.lax.top_k(-d_ca, cfg.local_attention_k)[0][..., -1:]
+            local = (d_ca <= kth)[:, None, :, :]  # (b, 1, q, k)
+            logits = jnp.where(local, logits, neg)
         attn = jax.nn.softmax(logits, axis=-1)  # (b, h, q, k)
 
         o_scalar = jnp.einsum("bhqk,bkhc->bqhc", attn, v).reshape(b, n, h * sv)

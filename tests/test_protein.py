@@ -214,3 +214,32 @@ def test_composition_runs_and_traces(se3):
     cfg2 = CompositionConfig(num_t=8, kappa_operator="AND")
     out2 = compose(jax.random.PRNGKey(0), model_a, model_b, se3, n_res=n, cfg=cfg2)
     assert np.all(np.isfinite(np.asarray(out2["rigids"])))
+
+
+def test_proteus_like_local_attention(se3):
+    """The proteus-like config (k-NN local attention) runs and differs from
+    framediff-like outputs on the same inputs."""
+    from superdiff_tpu.models.protein.ipa import IPAConfig, IPAScoreNetwork
+
+    n, b = 24, 1
+    feats = {
+        "rigids_t": rigid.rigid_identity((b, n)).at[..., 4:].add(
+            jnp.arange(n)[None, :, None] * 3.8
+        ),
+        "res_mask": jnp.ones((b, n)),
+        "fixed_mask": jnp.zeros((b, n)),
+        "t": 0.5 * jnp.ones((b,)),
+        "seq_idx": jnp.broadcast_to(jnp.arange(n)[None], (b, n)),
+        "sc_ca_t": jnp.zeros((b, n, 3)),
+    }
+    cfg_local = IPAConfig.tiny()
+    cfg_local = type(cfg_local)(**{**cfg_local.__dict__, "local_attention_k": 4})
+    net = IPAScoreNetwork(cfg_local, se3)
+    params = net.init(jax.random.PRNGKey(0), feats)["params"]
+    out = net.apply({"params": params}, feats)
+    assert np.all(np.isfinite(np.asarray(out["rigids"])))
+    # same params, full attention -> different node features (psi head is
+    # non-zero-init; score heads are zero-init so equal at init by design)
+    net_full = IPAScoreNetwork(IPAConfig.tiny(), se3)
+    out_full = net_full.apply({"params": params}, feats)
+    assert not np.allclose(np.asarray(out["psi"]), np.asarray(out_full["psi"]))
