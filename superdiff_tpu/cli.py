@@ -17,7 +17,6 @@ Every run writes a config snapshot + metrics JSONL next to its outputs
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys

@@ -27,7 +27,7 @@ to accumulated noise in the running log-likelihoods (see SURVEY.md §7).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import numpy as np
 import pandas as pd

@@ -9,7 +9,7 @@ statistics in fp32.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Config defaults match ``superdiff/config/composition.yaml:145-152``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

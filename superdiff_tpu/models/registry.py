@@ -7,7 +7,7 @@ string name.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Type
+from typing import Dict
 
 _MODELS: Dict[str, type] = {}
 

@@ -20,7 +20,7 @@ weights the model runs with random init (identical compute graph, used by
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

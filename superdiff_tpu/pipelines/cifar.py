@@ -26,7 +26,6 @@ from ..eval import fid as fid_lib
 from ..models import ScoreUNet, make_stacked_score_fn, stack_params
 from ..parallel import make_mesh, shard_batch
 from ..train import (
-    TrainState,
     checkpoints as ckpt_lib,
     init_train_state,
     make_optimizer,

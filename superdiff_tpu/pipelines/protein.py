@@ -19,7 +19,7 @@ in the scan carry (SURVEY.md §7 "heterogeneous two-model placement").
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
