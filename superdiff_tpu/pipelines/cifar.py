@@ -176,8 +176,21 @@ def make_generator(
     return generate, sp_cfg.n_steps
 
 
-def train(cfg: CifarConfig, workdir: str, n_iters: Optional[int] = None):
-    """Training mode (``run_lib.py:55-126``): DSM + EMA + periodic ckpt/eval."""
+def train(
+    cfg: CifarConfig,
+    workdir: str,
+    n_iters: Optional[int] = None,
+    *,
+    eval_artifacts: bool = False,
+    estimate_bpd: bool = False,
+):
+    """Training mode (``run_lib.py:55-126``): DSM + EMA + periodic ckpt/eval.
+
+    ``eval_artifacts`` generates a 64-sample grid every ``eval_every`` steps
+    (the reference's wandb.Image loop, ``run_lib.py:110-125``);
+    ``estimate_bpd`` additionally logs bits/dim on the current batch (the
+    estimator the reference keeps commented out, ``run_lib.py:121-126``).
+    """
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(cfg.seed)
     model, state, opt, mgr = init_state(key, cfg, workdir)
@@ -189,11 +202,13 @@ def train(cfg: CifarConfig, workdir: str, n_iters: Optional[int] = None):
     it = PrefetchIterator(ds.batches(cfg.batch_size))
     logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
+    bpd_fn = None
     initial = int(state.step)
     total = n_iters or cfg.n_iters
     t_start = time.time()
     for step in range(initial, total + 1):
-        batch = shard_batch(next(it), mesh)
+        host_batch = next(it)
+        batch = shard_batch(host_batch, mesh)
         state, loss = step_fn(state, batch)
         if step % cfg.log_every == 0:
             logger.log(step=step, loss=float(loss),
@@ -201,6 +216,43 @@ def train(cfg: CifarConfig, workdir: str, n_iters: Optional[int] = None):
             t_start = time.time()
         if step % cfg.save_every == 0:
             ckpt_lib.save(mgr, step // cfg.save_every, jax.device_get(state))
+        if eval_artifacts and step % cfg.eval_every == 0:
+            labels = (
+                jnp.tile(jnp.arange(10), cfg.eval_batch_size // 10 + 1)[: cfg.eval_batch_size]
+                if cfg.conditioned else None
+            )
+            gen, nfe = make_generator(
+                model, [state.params], cfg, mode="sde", operator="avg",
+                n_steps=cfg.n_train_sample_steps, labels=labels,
+            )
+            x0, _ = gen(jax.random.fold_in(key, step))
+            from ..utils.images import stack_imgs
+
+            inverse = get_image_inverse_scaler()
+            side = min(8, int(np.sqrt(x0.shape[0])))
+            grid = stack_imgs(np.asarray(inverse(x0)), side, side)
+            np.savez_compressed(
+                os.path.join(workdir, f"artifacts_{step}.npz"), grid=grid
+            )
+            logger.log(step=step, nfe=nfe, artifact=f"artifacts_{step}.npz")
+            if estimate_bpd:
+                from ..eval.bpd import make_bpd_estimator
+
+                if bpd_fn is None:
+                    @jax.jit
+                    def bpd_fn(params, k, x):
+                        def score_apply(t, xx):
+                            return model.apply(
+                                {"params": params},
+                                jnp.broadcast_to(t, (xx.shape[0], 1, 1, 1)),
+                                xx, None, train=False,
+                            )
+
+                        return make_bpd_estimator(score_apply, schedule, n_steps=50)(k, x)
+
+                bpd_val, _ = bpd_fn(state.params, jax.random.fold_in(key, step + 1),
+                                    jnp.asarray(host_batch["image"]))
+                logger.log(step=step, bpd=float(bpd_val))
     return state
 
 
