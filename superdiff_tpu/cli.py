@@ -123,6 +123,17 @@ def cmd_protein(args):
     from .models.protein import IPAConfig, IPAScoreNetwork, SE3Diffuser, backbone, rigid
     from .pipelines.protein import CompositionConfig, compose
 
+    if args.batch < 1:
+        raise SystemExit("--batch must be >= 1")
+    if args.num_t < 2:
+        raise SystemExit("--num_t must be >= 2 (one stepped interval)")
+    try:
+        lengths_list = (
+            [int(x) for x in args.lengths.split(",")] if args.lengths else None
+        )
+    except ValueError:
+        raise SystemExit(f"--lengths must be a comma list of ints, got {args.lengths!r}")
+
     se3 = SE3Diffuser.default()
     cfg = CompositionConfig(
         num_t=args.num_t, min_t=args.min_t,
@@ -154,7 +165,7 @@ def cmd_protein(args):
 
     # seed-series over lengths (reference protocol: 50 seeds x lengths
     # {100,150,200,250,300}, proteins/README.md:99)
-    lengths = [int(x) for x in args.lengths.split(",")] if args.lengths else [n]
+    lengths = lengths_list or [n]
     for length in lengths:
         for seed in range(args.seed, args.seed + args.num_seeds):
             out_path = os.path.join(args.out_dir, f"len_{length}_seed_{seed}.pdb")
@@ -162,21 +173,27 @@ def cmd_protein(args):
                 # idempotent skip-if-done resume (inference.py:187-189)
                 print(f"skip existing {out_path}")
                 continue
+            # --batch > 1 runs B trajectories per seed-key in one compiled
+            # program (batched scan); extra backbones get _k suffixes.
             out = compose(
-                jax.random.PRNGKey(seed), model_a, model_b, se3, n_res=length, cfg=cfg
+                jax.random.PRNGKey(seed), model_a, model_b, se3,
+                n_res=length, cfg=cfg, batch=args.batch,
             )
-            pdb = backbone.to_pdb(np.asarray(out["atom37"][0]))
-            with open(out_path, "w") as f:
-                f.write(pdb)
             tr = out["traces"]
-            print(json.dumps({
-                "length": length,
-                "seed": seed,
-                "kappa_trans_last": float(np.asarray(tr["kappa_trans"])[-1, 0]),
-                "ll_a_trans": float(np.asarray(tr["ll_a_trans"])[-1, 0]),
-                "ll_b_trans": float(np.asarray(tr["ll_b_trans"])[-1, 0]),
-                "pdb": out_path,
-            }))
+            for b in range(args.batch):
+                path_b = out_path if b == 0 else out_path.replace(".pdb", f"_{b}.pdb")
+                pdb = backbone.to_pdb(np.asarray(out["atom37"][b]))
+                with open(path_b, "w") as f:
+                    f.write(pdb)
+                print(json.dumps({
+                    "length": length,
+                    "seed": seed,
+                    "batch_index": b,
+                    "kappa_trans_last": float(np.asarray(tr["kappa_trans"])[-1, b]),
+                    "ll_a_trans": float(np.asarray(tr["ll_a_trans"])[-1, b]),
+                    "ll_b_trans": float(np.asarray(tr["ll_b_trans"])[-1, b]),
+                    "pdb": path_b,
+                }))
 
 
 def _load_or_init(net, feats0, ckpt: str, key):
@@ -241,6 +258,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--stochastic", action="store_true")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--num_seeds", type=int, default=1)
+    pr.add_argument("--batch", type=int, default=1, help="trajectories per seed-key, one compiled batched scan")
     pr.add_argument("--ckpt_a", default=None)
     pr.add_argument("--ckpt_b", default=None)
     pr.add_argument("--overwrite", action="store_true")

@@ -280,8 +280,13 @@ def evaluate_joint_fid(
     eval_folder: str = "eval",
     stats_path: Optional[str] = None,
     inception_weights: Optional[str] = None,
+    feature_fn=None,
 ):
-    """SuperDiff joint FID over N checkpoints (``run_lib.py:201-278``)."""
+    """SuperDiff joint FID over N checkpoints (``run_lib.py:201-278``).
+
+    ``feature_fn(uint8_images) -> (N, D)`` overrides the Inception extractor
+    (pluggable features: DINOv2, a custom embedder, or a test stub).
+    """
     key = jax.random.PRNGKey(cfg.seed)
     model = cfg.model()
     params_list = []
@@ -294,7 +299,8 @@ def evaluate_joint_fid(
     )
     sample_dir = os.path.join(workdir, eval_folder, "samples_stoch" if stoch else "samples")
     os.makedirs(sample_dir, exist_ok=True)
-    feature_fn = fid_lib.get_inception_feature_fn(inception_weights)
+    if feature_fn is None:
+        feature_fn = fid_lib.get_inception_feature_fn(inception_weights)
     feats = _generate_and_collect(generate, cfg, key, sample_dir, feature_fn)
     report = {}
     if feats is not None and stats_path:

@@ -57,3 +57,39 @@ def test_joint_generator(tiny_cfg):
     assert logq.shape == (8, 2)
     assert np.isfinite(np.asarray(x0)).all()
     assert n_steps == 4
+
+
+def test_evaluate_joint_fid_with_stub_features(tmp_path, tiny_cfg):
+    """Full eval_joint_fid path: generate -> features -> exact FID vs stats."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg) if dataclasses.is_dataclass(tiny_cfg) else tiny_cfg
+    cfg.num_samples = 16
+    cfg.eval_batch_size = 8
+    wd_a, wd_b = str(tmp_path / "a"), str(tmp_path / "b")
+    C.train(cfg, wd_a, n_iters=3)
+    C.train(cfg, wd_b, n_iters=3)
+
+    rng = np.random.default_rng(0)
+    ref_feats = rng.normal(size=(256, 6)).astype(np.float32)
+    stats_path = str(tmp_path / "stats.npz")
+    np.savez_compressed(stats_path, pool_3=ref_feats)
+
+    def stub_features(imgs):
+        # deterministic cheap embedding: channel means + quadrant means
+        x = imgs.astype(np.float32) / 255.0
+        return np.stack(
+            [x.mean((1, 2, 3)), x[:, :8].mean((1, 2, 3)), x[:, 8:].mean((1, 2, 3)),
+             x[..., 0].mean((1, 2)), x[..., 1].mean((1, 2)), x[..., 2].mean((1, 2))],
+            axis=-1,
+        )
+
+    report = C.evaluate_joint_fid(
+        cfg, str(tmp_path / "out"), [wd_a, wd_b], stoch=True,
+        stats_path=stats_path, feature_fn=stub_features,
+    )
+    assert "fid" in report and np.isfinite(report["fid"])
+    import os
+
+    sample_dir = tmp_path / "out" / "eval" / "samples_stoch"
+    assert len(list(sample_dir.glob("samples_*.npz"))) == 2  # 16/8 batches

@@ -1,0 +1,108 @@
+"""Coverage for auxiliary subsystems: prefetcher, retry, CLI, traces, modes."""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superdiff_tpu.core import SuperposeConfig, VPSchedule, superpose
+from superdiff_tpu.data.datasets import PrefetchIterator
+from superdiff_tpu.eval.self_consistency import run_subprocess_with_retry
+
+
+def test_prefetch_iterator_preserves_order_and_stops():
+    it = PrefetchIterator(iter(range(10)), depth=3)
+    assert list(it) == list(range(10))
+
+
+def test_subprocess_retry_succeeds_and_bounds():
+    n = run_subprocess_with_retry([sys.executable, "-c", "pass"], max_retries=3, log=lambda m: None)
+    assert n == 1
+    with pytest.raises(RuntimeError, match="after 2 retries"):
+        run_subprocess_with_retry(
+            [sys.executable, "-c", "import sys; sys.exit(1)"], max_retries=2, log=lambda m: None
+        )
+
+
+def test_cli_parsers_cover_reference_surfaces():
+    from superdiff_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["cifar", "--mode", "eval_joint_fid", "--chkpts", "a,b", "--stoch"])
+    assert a.chkpts == "a,b" and a.stoch
+    a = p.parse_args(["sd", "--method", "and_ode", "--T", "2.5", "--logp", "-1", "--lift", "0.3"])
+    assert (a.T, a.logp, a.lift) == (2.5, -1.0, 0.3)
+    a = p.parse_args(["protein", "--operator", "AND", "--lengths", "100,150", "--num_seeds", "3"])
+    assert a.lengths == "100,150"
+    with pytest.raises(SystemExit):
+        p.parse_args(["sd", "--method", "bogus"])
+
+
+def _gaussian_oracle(mus, std=0.25):
+    sched = VPSchedule()
+    mus = jnp.asarray(mus)
+
+    def score_fn(t, x):
+        a, sig = sched.alpha(t), sched.sigma(t)
+        var = a**2 * std**2 + sig**2
+        return -sig * (x[None] - a * mus[:, None, :]) / var
+
+    return score_fn
+
+
+def test_superpose_fused_flag_matches_xla_path():
+    """fused_kernel=True falls back to identical math off-TPU."""
+    score_fn = _gaussian_oracle([[2.0, 2.0], [-2.0, -2.0]])
+    sched = VPSchedule()
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (32, 2))
+    outs = []
+    for fused in (False, True):
+        cfg = SuperposeConfig(n_steps=50, mode="sde", operator="or", fused_kernel=fused)
+        x0, logq, _ = jax.jit(
+            lambda k, x, c=cfg: superpose(k, x, score_fn, sched, c, n_models=2)
+        )(jax.random.PRNGKey(1), x1)
+        outs.append((np.asarray(x0), np.asarray(logq)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-4)
+
+
+def test_protein_mixture_and_baseline_modes():
+    from superdiff_tpu.models.protein import IPAConfig, IPAScoreNetwork, R3Diffuser, SE3Diffuser, SO3Diffuser, rigid
+    from superdiff_tpu.pipelines.protein import CompositionConfig, compose
+
+    se3 = SE3Diffuser(r3=R3Diffuser(), so3=SO3Diffuser(num_sigma=40, num_omega=80, L=80))
+    n = 12
+    net = IPAScoreNetwork(IPAConfig.tiny(), se3)
+    feats0 = {
+        "rigids_t": rigid.rigid_identity((1, n)),
+        "res_mask": jnp.ones((1, n)),
+        "fixed_mask": jnp.zeros((1, n)),
+        "t": jnp.ones((1,)),
+        "seq_idx": jnp.arange(n)[None],
+        "sc_ca_t": jnp.zeros((1, n, 3)),
+    }
+    pa = net.init(jax.random.PRNGKey(0), feats0)["params"]
+    pb = net.init(jax.random.PRNGKey(1), feats0)["params"]
+    ma = lambda f, t: net.apply({"params": pa}, f)
+    mb = lambda f, t: net.apply({"params": pb}, f)
+    for method, expect in [("mixture", 0.5), ("baseline_a", 1.0), ("baseline_b", 0.0)]:
+        cfg = CompositionConfig(num_t=5, mixing_method=method)
+        out = compose(jax.random.PRNGKey(2), ma, mb, se3, n_res=n, cfg=cfg)
+        k = np.asarray(out["traces"]["kappa_trans"])
+        np.testing.assert_allclose(k, expect, atol=1e-6)
+        assert np.isfinite(np.asarray(out["rigids"])).all()
+
+
+def test_esm_gating_subschedule_flags():
+    from superdiff_tpu.pipelines.protein import CompositionConfig
+
+    import numpy as np
+
+    cfg = CompositionConfig(num_t=10, esm_rate=0.3)
+    num_esm = int(cfg.esm_rate * cfg.num_t)
+    flags = np.zeros(cfg.num_t)
+    flags[np.linspace(0, cfg.num_t - 1, num_esm, dtype=int)] = 1
+    assert flags.sum() == 3  # 30% of 10 steps flagged
