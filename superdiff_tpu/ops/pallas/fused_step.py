@@ -84,9 +84,10 @@ def fused_sde_step_pallas(
     interpret: bool = False,
 ):
     n_models, b, d = sscores.shape
-    bb = min(block_b, b)
-    while b % bb:
-        bb -= 1
+    # TPU tiling: sublane block dim must be divisible by 8 or equal b.
+    bb = max(block_b, 8)
+    if b % bb or bb % 8:
+        bb = b
     scalars = jnp.stack([da, beta, sigma, dt]).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

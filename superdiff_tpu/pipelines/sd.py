@@ -58,6 +58,7 @@ class SDPipelineConfig:
     logp: float = 0.0  # OR bias (args.logp)
     lift: float = 0.0  # AND lift bias
     kappa_fixed: float = 0.5  # avg methods
+    fused_kernel: Optional[bool] = None  # Pallas OR epilogue; None = auto (TPU)
 
 
 @dataclasses.dataclass
@@ -227,6 +228,28 @@ def superdiff_sd_sample(
             v_obj, v_bg, v_unc = batched_vels(
                 [x, x, x], t, sigma, [ctx_obj, ctx_bg, ctx_unc]
             )
+            use_fused = (
+                cfg.fused_kernel
+                if cfg.fused_kernel is not None
+                else jax.default_backend() == "tpu"
+            )
+            if method == "or" and use_fused:
+                # single-HBM-pass Pallas epilogue (ops/pallas/sd_fused_step.py)
+                from ..ops.pallas.sd_fused_step import sd_or_step_pallas
+
+                flat = lambda a: a.reshape(b, -1)
+                new_x_flat, new_ll2, new_k = sd_or_step_pallas(
+                    flat(v_obj), flat(v_bg), flat(v_unc), flat(x), flat(zs),
+                    jnp.stack([ll_obj, ll_bg], axis=-1), sigma, dsigma,
+                    temperature=cfg.temperature, logp=cfg.logp, guidance=g,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                new_carry = (
+                    new_x_flat.reshape(x.shape), x_unc,
+                    new_ll2[:, 0], new_ll2[:, 1], ll_unc, new_k,
+                )
+                trace = {"kappa": new_k, "ll_obj": new_ll2[:, 0], "ll_bg": new_ll2[:, 1]}
+                return new_carry, trace
             if method == "and":
                 dx_ind = 2.0 * dsigma * (v_unc + g * (v_bg - v_unc)) + noise
                 new_k = kp.kappa_and_sde(v_obj, v_bg, dx_ind, sigma, dsigma, g, n, cfg.lift)

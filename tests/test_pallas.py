@@ -66,3 +66,24 @@ def test_reference_matches_superpose_math():
     rx, rq = fused_sde_step_reference(sscores, x, eps_used, logq, da, beta, sigma, dt)
     np.testing.assert_allclose(np.asarray(new_x), np.asarray(rx), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_logq), np.asarray(rq), rtol=1e-4, atol=1e-4)
+
+
+def test_sd_or_fused_step_matches_reference():
+    from superdiff_tpu.ops.pallas.sd_fused_step import (
+        sd_or_step_pallas,
+        sd_or_step_reference,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    b, d = 6, 512
+    v_obj, v_bg, v_unc, x, eps = (jax.random.normal(k, (b, d)) for k in ks[:5])
+    ll = jax.random.normal(ks[5], (b, 2))
+    sigma, dsigma = jnp.float32(3.0), jnp.float32(-0.08)
+    kw = dict(temperature=2.0, logp=0.5, guidance=7.5)
+    rx, rll, rk = sd_or_step_reference(v_obj, v_bg, v_unc, x, eps, ll, sigma, dsigma, **kw)
+    px, pll, pk = sd_or_step_pallas(
+        v_obj, v_bg, v_unc, x, eps, ll, sigma, dsigma, interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(px), np.asarray(rx), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pll), np.asarray(rll), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(rk), rtol=1e-5, atol=1e-5)

@@ -73,3 +73,24 @@ def test_nll_roundtrip_smoke(mod):
     )
     assert np.isfinite(np.asarray(out["ll"])).all()
     assert out["latents_end"].shape == lat.shape
+
+
+def test_or_fused_kernel_matches_jnp_path(mod):
+    """Forcing the Pallas OR epilogue (interpreted on CPU) reproduces the
+    jnp path bit-close over a full trajectory."""
+    import dataclasses
+
+    outs = []
+    for fused in (False, True):
+        cfg = dataclasses.replace(CFG, fused_kernel=fused)
+        out = sdp.generate(mod, "or", "a cat", "a dog", seed=3, batch_size=2,
+                           cfg=cfg, decode=False)
+        outs.append(out)
+    np.testing.assert_allclose(
+        np.asarray(outs[0]["latents"]), np.asarray(outs[1]["latents"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0]["traces"]["kappa"]), np.asarray(outs[1]["traces"]["kappa"]),
+        rtol=1e-4, atol=1e-4,
+    )
