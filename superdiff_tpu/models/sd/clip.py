@@ -102,18 +102,52 @@ class CLIPTextEncoder(nn.Module):
 
 
 class Tokenizer:
-    """HF CLIPTokenizer when available, deterministic fallback otherwise."""
+    """HF CLIPTokenizer when available, deterministic fallback otherwise.
+
+    ``hf_path`` is the SD snapshot root (the directory passed as
+    ``weights_dir``); in the HF SD layout the tokenizer files live under its
+    ``tokenizer/`` subfolder (``clip_eval.py:30`` loads subfolder
+    ``"tokenizer"``). Both the subfolder and the root are tried. When a path
+    WAS given but no tokenizer loads, the hash fallback would silently feed
+    garbage conditioning to real weights — warn loudly.
+    """
 
     def __init__(self, cfg: CLIPTextConfig, hf_path: Optional[str] = None):
+        import os
+        import warnings
+
         self.cfg = cfg
         self._hf = None
         if hf_path:
             try:
                 from transformers import CLIPTokenizer
 
-                self._hf = CLIPTokenizer.from_pretrained(hf_path)
+                for candidate in (os.path.join(hf_path, "tokenizer"), hf_path):
+                    if not os.path.isdir(candidate):
+                        continue
+                    try:
+                        self._hf = CLIPTokenizer.from_pretrained(
+                            candidate, local_files_only=True
+                        )
+                        break
+                    except Exception:
+                        continue
             except Exception:
                 self._hf = None
+            if self._hf is None:
+                warnings.warn(
+                    f"No CLIPTokenizer found under {hf_path!r} (tried "
+                    "'tokenizer/' subfolder and the root). Falling back to "
+                    "hash-based fake tokens — text conditioning will be "
+                    "GARBAGE with real weights.",
+                    stacklevel=2,
+                )
+
+    # CLIP's real special-token ids; the fallback must use them so that a
+    # partially-real setup (converted weights + missing tokenizer files) at
+    # least sees the correct BOS/EOS embeddings.
+    BOS = 49406
+    EOS = 49407
 
     def __call__(self, prompts: list[str]) -> np.ndarray:
         c = self.cfg
@@ -124,11 +158,13 @@ class Tokenizer:
             )
             return out["input_ids"].astype(np.int32)
         # fallback: bos, per-word hash tokens, eos, pad with eos
-        ids = np.full((len(prompts), c.max_length), 2, dtype=np.int32)  # eos-ish pad
-        ids[:, 0] = 1
+        bos = self.BOS if self.BOS < c.vocab_size else 1
+        eos = self.EOS if self.EOS < c.vocab_size else 2
+        ids = np.full((len(prompts), c.max_length), eos, dtype=np.int32)
+        ids[:, 0] = bos
         for i, p in enumerate(prompts):
             toks = [3 + (hash(w) % (c.vocab_size - 4)) for w in p.lower().split()]
             toks = toks[: c.max_length - 2]
             ids[i, 1 : 1 + len(toks)] = toks
-            ids[i, 1 + len(toks)] = 2
+            ids[i, 1 + len(toks)] = eos
         return ids

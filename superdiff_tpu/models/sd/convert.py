@@ -23,12 +23,21 @@ import numpy as np
 
 
 def _load_safetensors(path: str) -> Optional[Dict[str, np.ndarray]]:
+    if not os.path.exists(path):
+        return None
     try:
         from safetensors.numpy import load_file
     except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path} exists but the safetensors package is unavailable — "
+            "falling back to RANDOM INIT for this module.",
+            stacklevel=2,
+        )
         return None
-    if not os.path.exists(path):
-        return None
+    # Read errors on an existing file must propagate, not silently fall
+    # back to random init.
     return load_file(path)
 
 
@@ -144,9 +153,13 @@ def unet_mapping(n_down: int = 4, layers_per_block: int = 2):
     return m
 
 
-def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping) -> int:
-    """Write mapped tensors into a mutable nested-dict copy of params.
-    Returns the number of applied entries; missing optional tensors
+def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping):
+    """Write mapped tensors into params and return (params, n_applied).
+
+    Params may be a plain dict (mutated in place) or a FrozenDict (unfrozen
+    into a copy); the *returned* tree is always the updated one — callers
+    must use it rather than the input (FrozenDict inputs would otherwise
+    silently discard every converted weight). Missing optional tensors
     (e.g. conv_shortcut on same-width resnets) are skipped."""
     import flax
 
@@ -158,7 +171,7 @@ def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping) -> int:
         val = tensors[src]
         _set(mutable, dst, tf(val) if tf else val)
         applied += 1
-    return applied
+    return mutable, applied
 
 
 def clip_text_mapping(num_layers: int = 12):
@@ -251,18 +264,18 @@ def load_sd_weights(weights_dir: str, unet_params, text_params, vae_params):
         os.path.join(weights_dir, "unet", "diffusion_pytorch_model.safetensors")
     )
     if unet_t:
-        n = apply_mapping(unet_params, unet_t, unet_mapping())
+        unet_params, n = apply_mapping(unet_params, unet_t, unet_mapping())
         assert n > 400, f"unet conversion too sparse: {n} tensors"
     text_t = _load_safetensors(
         os.path.join(weights_dir, "text_encoder", "model.safetensors")
     )
     if text_t:
-        n = apply_mapping(text_params, text_t, clip_text_mapping())
+        text_params, n = apply_mapping(text_params, text_t, clip_text_mapping())
         assert n > 100, f"clip conversion too sparse: {n} tensors"
     vae_t = _load_safetensors(
         os.path.join(weights_dir, "vae", "diffusion_pytorch_model.safetensors")
     )
     if vae_t:
-        n = apply_mapping(vae_params, vae_t, vae_decoder_mapping())
+        vae_params, n = apply_mapping(vae_params, vae_t, vae_decoder_mapping())
         assert n > 60, f"vae conversion too sparse: {n} tensors"
     return unet_params, text_params, vae_params

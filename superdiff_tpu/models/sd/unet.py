@@ -223,8 +223,12 @@ class SDUNet(nn.Module):
                     )(h, context)
                 hs.append(h)
             if i != len(cfg.down_block_types) - 1:
+                # Explicit symmetric padding: torch/diffusers Downsample2D
+                # uses padding=1 on both sides; XLA "SAME" at stride 2 pads
+                # (0,1), which would shift activations one pixel vs the
+                # checkpoint's training-time alignment.
                 h = nn.Conv(
-                    out_ch, (3, 3), strides=(2, 2), padding="SAME",
+                    out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name=f"down_{i}_downsample",
                 )(h)
                 hs.append(h)

@@ -109,7 +109,12 @@ class VAEEncoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = VAEResnet(ch, self.dtype, name=f"down_{i}_res_{j}")(h)
             if i != len(chs) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                # NOTE: unlike the UNet's Downsample2D (symmetric padding=1),
+                # the diffusers VAE Encoder builds its down blocks with
+                # downsample_padding=0 and pads manually with F.pad(0,1,0,1)
+                # — i.e. asymmetric (lo=0, hi=1), which is exactly XLA's
+                # "SAME" for stride 2 on even inputs. Keep SAME here.
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
                             dtype=self.dtype, name=f"down_{i}_conv")(h)
         h = VAEResnet(chs[-1], self.dtype, name="mid_res_0")(h)
         h = VAEAttn(self.dtype, name="mid_attn")(h)

@@ -263,13 +263,19 @@ def superdiff_sd_sample(
             else:
                 dx = 2.0 * dsigma * vf + noise
             new_x = x + dx
-            vels2 = jnp.stack([v_obj, v_bg])
-            if method == "or":
-                dlls = ito.dlogq_sde_sigma_space_or(vels2, dx, sigma, dsigma)
+            if method == "avg_ode":
+                # Noise-free ODE step: the SDE divergence-free estimator does
+                # not apply, and the reference tracks no log-likelihoods for
+                # avg_ode (clip_eval.py:417-419) — carry ll unchanged.
+                new_ll_obj, new_ll_bg = ll_obj, ll_bg
             else:
-                dlls = ito.dlogq_sde_sigma_space(vels2, dx, sigma, dsigma)
-            new_ll_obj = ll_obj + dlls[:, 0]
-            new_ll_bg = ll_bg + dlls[:, 1]
+                vels2 = jnp.stack([v_obj, v_bg])
+                if method == "or":
+                    dlls = ito.dlogq_sde_sigma_space_or(vels2, dx, sigma, dsigma)
+                else:
+                    dlls = ito.dlogq_sde_sigma_space(vels2, dx, sigma, dsigma)
+                new_ll_obj = ll_obj + dlls[:, 0]
+                new_ll_bg = ll_bg + dlls[:, 1]
             new_x_unc, new_ll_unc = x_unc, ll_unc
 
         new_carry = (new_x, new_x_unc, new_ll_obj, new_ll_bg, new_ll_unc, new_k)

@@ -48,7 +48,7 @@ def _fake_hf_tensors(params, mapping):
 def _roundtrip(params, mapping):
     params = flax.core.unfreeze(jax.tree.map(np.asarray, params))
     tensors = _fake_hf_tensors(params, mapping)
-    n = convert.apply_mapping(params, tensors, mapping)
+    params, n = convert.apply_mapping(params, tensors, mapping)
     assert n == len(tensors), (n, len(tensors))
     # a mapped tensor actually landed
     dst, src, tf = mapping[0]
