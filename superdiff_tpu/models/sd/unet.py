@@ -78,17 +78,26 @@ class SDUNetConfig:
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when context is None.
 
-    ``attn_impl``: 'dpa' uses ``jax.nn.dot_product_attention`` (XLA-fused
-    softmax, avoids materializing fp32 logits — the memory bottleneck at
-    4096 tokens); 'einsum' is the explicit fp32-softmax path. Both are
-    forward-mode differentiable (the ODE estimator jvp's through either).
+    ``attn_impl``:
+      * 'flash' (default): the Pallas online-softmax kernel
+        (``ops/pallas/flash_attention.py``). XLA's own lowering materializes
+        the fp32 logits — f32[B,8,4096,4096] = 12.9 GB at batch 24 — through
+        HBM, measured ~52 ms/layer on v5e; the kernel does one HBM pass
+        (~15 ms, at the head_dim-40 padded-MXU bound). Short-kv cross
+        attention (77 text tokens) auto-falls back to the einsum path.
+      * 'dpa': ``jax.nn.dot_product_attention``.
+      * 'einsum': explicit fp32-softmax einsum path.
+    All are forward-mode differentiable — 'flash' carries a custom_jvp rule
+    routing tangents through the einsum path (the ODE Itô estimator jvp's
+    through the UNet; the torch reference had to disable flash for this,
+    ``clip_eval.py:97``).
     """
 
     query_dim: int
     heads: int
     context_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
-    attn_impl: str = "dpa"
+    attn_impl: str = "flash"
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
@@ -103,7 +112,11 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, head_dim)
         k = k.reshape(b, lk, self.heads, head_dim)
         v = v.reshape(b, lk, self.heads, head_dim)
-        if self.attn_impl == "dpa":
+        if self.attn_impl == "flash":
+            from ...ops.pallas.flash_attention import flash_mha
+
+            out = flash_mha(q, k, v)
+        elif self.attn_impl == "dpa":
             out = jax.nn.dot_product_attention(q, k, v)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
@@ -258,8 +271,9 @@ class SDUNet(nn.Module):
                         dtype=self.dtype, name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i != len(cfg.up_block_types) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                # nearest-neighbor 2x upsample as repeat: identical result,
+                # cheaper than jax.image.resize's gather lowering on TPU
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(
                     out_ch, (3, 3), padding="SAME", dtype=self.dtype,
                     name=f"up_{i}_upsample",

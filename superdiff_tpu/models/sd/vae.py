@@ -85,9 +85,9 @@ class VAEDecoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = VAEResnet(ch, self.dtype, name=f"up_{i}_res_{j}")(h)
             if i != len(chs) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype, name=f"up_{i}_conv")(h)
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = nn.Conv(h.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"up_{i}_conv")(h)
         h = nn.swish(GroupNorm32(name="norm_out")(h))
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)

@@ -41,19 +41,52 @@ def timestep_embedding(t: Array, dim: int, max_period: float = 10_000.0) -> Arra
     return emb
 
 
+class _ScaleBias(nn.Module):
+    """Parameter container matching nn.GroupNorm's (scale, bias) layout so
+    checkpoint paths stay ``.../GroupNorm_0/{scale,bias}``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return g, b
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32 regardless of activation dtype."""
+    """GroupNorm with float32 statistics, applied in the activation dtype.
+
+    Statistics (mean/var per group) are accumulated in fp32 for stability,
+    then folded into per-(batch, channel) scale/shift applied as one
+    ``x * a + b`` in the original dtype — a single fusable elementwise pass
+    instead of upcasting the whole activation to fp32 (which doubles HBM
+    traffic and blocks fusion into the following conv). Matches
+    ``nn.GroupNorm(dtype=f32)`` to bf16 rounding; exact in fp32.
+    """
 
     num_groups: int = 32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        orig = x.dtype
-        groups = min(self.num_groups, x.shape[-1])
-        while x.shape[-1] % groups:  # largest divisor <= num_groups
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        while c % groups:  # largest divisor <= num_groups
             groups -= 1
-        h = nn.GroupNorm(num_groups=groups, dtype=jnp.float32)(x.astype(jnp.float32))
-        return h.astype(orig)
+        g, b = _ScaleBias(c, name="GroupNorm_0")()
+        bsz = x.shape[0]
+        xg = x.astype(jnp.float32).reshape(bsz, -1, groups, c // groups)
+        mean = jnp.mean(xg, axis=(1, 3))  # (B, G) fp32
+        var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        per_ch = c // groups
+        mean_c = jnp.repeat(mean, per_ch, axis=-1)  # (B, C)
+        rstd_c = jnp.repeat(rstd, per_ch, axis=-1)
+        a = rstd_c * g
+        bb = b - mean_c * a
+        bshape = (bsz,) + (1,) * (x.ndim - 2) + (c,)
+        return x * a.reshape(bshape).astype(x.dtype) + bb.reshape(bshape).astype(x.dtype)
 
 
 class ResnetBlock(nn.Module):

@@ -87,3 +87,44 @@ def test_sd_or_fused_step_matches_reference():
     np.testing.assert_allclose(np.asarray(px), np.asarray(rx), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pll), np.asarray(rll), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(pk), np.asarray(rk), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_matches_reference():
+    """Kernel (interpret mode on CPU) vs einsum reference, odd head_dim."""
+    from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
+
+    b, l, h, d = 2, 256, 4, 40
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks)
+    out = flash_mha(q, k, v, block_q=128, block_k=128, interpret=True)
+    ref = _reference(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_short_kv_falls_back():
+    """77-token cross-attention kv can't tile; must route to the reference."""
+    from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
+
+    b, lq, lkv, h, d = 2, 128, 77, 4, 40
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], (b, lq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lkv, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lkv, h, d), jnp.float32)
+    out = flash_mha(q, k, v)
+    ref = _reference(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_jvp_matches_reference_jvp():
+    """The ODE Ito estimator jvp's through the UNet; the custom_jvp rule must
+    agree with forward-mode through the einsum path."""
+    from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
+
+    b, l, h, d = 1, 128, 2, 40
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks[:3])
+    dq = jax.random.normal(ks[3], q.shape, jnp.float32)
+    o1, t1 = jax.jvp(lambda x: flash_mha(x, k, v, interpret=True), (q,), (dq,))
+    o2, t2 = jax.jvp(lambda x: _reference(x, k, v, d**-0.5), (q,), (dq,))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-5)

@@ -60,3 +60,24 @@ def test_unet_grad_nonzero_after_step():
     g = jax.grad(loss)(params)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
     assert total > 0.0
+
+
+def test_groupnorm32_matches_flax_groupnorm():
+    """Folded scale/shift application must match nn.GroupNorm(f32) in both
+    dtypes (fp32 exact; bf16 to one ulp)."""
+    import flax.linen as nn
+
+    from superdiff_tpu.models.unet import GroupNorm32
+
+    key = jax.random.PRNGKey(0)
+    for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.05)):
+        x = jax.random.normal(key, (2, 8, 8, 64), dt) * 3 + 1
+        gn = GroupNorm32()
+        p = gn.init(key, x)["params"]
+        # perturb affine params so the test exercises them
+        p = jax.tree.map(lambda a: a + 0.3, p)
+        ref = nn.GroupNorm(num_groups=32, dtype=jnp.float32)
+        pr = {"scale": p["GroupNorm_0"]["scale"], "bias": p["GroupNorm_0"]["bias"]}
+        y1 = gn.apply({"params": p}, x).astype(jnp.float32)
+        y2 = ref.apply({"params": pr}, x.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=tol, atol=tol)
