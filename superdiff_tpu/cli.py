@@ -143,8 +143,6 @@ def cmd_protein(args):
         noise_scale=args.noise_scale, stochastic=args.stochastic,
     )
     _snapshot(args, args.out_dir)
-    net_a = IPAScoreNetwork(IPAConfig.proteus_like(), se3)
-    net_b = IPAScoreNetwork(IPAConfig.framediff_like(), se3)
     n = args.length
     feats0 = {
         "rigids_t": rigid.rigid_identity((1, n)),
@@ -154,8 +152,12 @@ def cmd_protein(args):
         "seq_idx": jax.numpy.arange(n)[None],
         "sc_ca_t": jax.numpy.zeros((1, n, 3)),
     }
-    pa = _load_or_init(net_a, feats0, args.ckpt_a, jax.random.PRNGKey(1))
-    pb = _load_or_init(net_b, feats0, args.ckpt_b, jax.random.PRNGKey(2))
+    net_a, pa = _build_protein_net(
+        args.ckpt_a, IPAConfig.proteus_like, se3, feats0, jax.random.PRNGKey(1)
+    )
+    net_b, pb = _build_protein_net(
+        args.ckpt_b, IPAConfig.framediff_like, se3, feats0, jax.random.PRNGKey(2)
+    )
 
     def model_a(feats, t):
         return net_a.apply({"params": pa}, feats)
@@ -202,6 +204,43 @@ def _load_or_init(net, feats0, ckpt: str, key):
 
         return ocp.StandardCheckpointer().restore(ckpt)
     return net.init(key, feats0)["params"]
+
+
+def _build_protein_net(ckpt, fallback_cfg_fn, se3, feats0, key):
+    """Build a protein score model for composition.
+
+    Torch pickles (.pkl/.pth/.pt — the reference's checkpoint format with
+    embedded conf, ``inference_se3_diffusion.py:130-159``) load into the
+    weight-compatible ``FrameDiffScoreNetwork``; orbax directories load this
+    framework's own nets; otherwise random init of the fallback config.
+    """
+    import jax
+
+    if ckpt and ckpt.endswith((".pkl", ".pth", ".pt")):
+        if not os.path.exists(ckpt):
+            raise SystemExit(f"checkpoint not found: {ckpt}")
+        from .models.protein.convert import (
+            apply_framediff_state_dict,
+            load_torch_checkpoint,
+        )
+        from .models.protein.framediff import FrameDiffConfig, FrameDiffScoreNetwork
+
+        sd, conf = load_torch_checkpoint(ckpt)
+        cfg = (
+            FrameDiffConfig.from_ckpt_conf(conf["model"])
+            if isinstance(conf, dict) and "model" in conf
+            else FrameDiffConfig()
+        )
+        net = FrameDiffScoreNetwork(cfg, score_calc=se3)
+        params = jax.jit(net.init)(key, feats0)["params"]
+        params, n_applied = apply_framediff_state_dict(params, sd, cfg)
+        print(f"loaded torch checkpoint {ckpt}: {n_applied} tensors converted")
+        return net, params
+
+    from .models.protein import IPAConfig, IPAScoreNetwork  # noqa: F811
+
+    net = IPAScoreNetwork(fallback_cfg_fn(), se3)
+    return net, _load_or_init(net, feats0, ckpt, key)
 
 
 def build_parser() -> argparse.ArgumentParser:

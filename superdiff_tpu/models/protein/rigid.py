@@ -191,3 +191,19 @@ def rigid_compose_rotvec(r7: Array, rotvec: Array, dtrans: Array) -> Array:
     """Right-compose a rotation-vector update and add a translation delta."""
     rot = rigid_rotmat(r7) @ rotvec_to_rotmat(rotvec)
     return rigid(rotmat_to_quat(rot), rigid_trans(r7) + dtrans)
+
+
+def rigid_compose_q_update(r7: Array, update6: Array, mask: Array) -> Array:
+    """AF2 backbone update (openfold ``Rigid.compose_q_update_vec``,
+    ``rigid_utils.py:1039-1063``): ``update6[..., :3]`` are the (x, y, z) of a
+    non-unit quaternion update (1, x, y, z) composed on the right of the
+    current rotation; ``update6[..., 3:]`` is a translation delta expressed in
+    the local frame. ``mask`` (..., 1) gates both deltas (fixed residues)."""
+    q_vec, t_vec = update6[..., :3], update6[..., 3:]
+    quats = rigid_quat(r7)
+    zero = jnp.zeros_like(q_vec[..., :1])
+    quat_update = quat_multiply(quats, jnp.concatenate([zero, q_vec], axis=-1))
+    new_quats = quat_normalize(quats + quat_update * mask)
+    trans_update = jnp.einsum("...ij,...j->...i", rigid_rotmat(r7), t_vec)
+    new_trans = rigid_trans(r7) + trans_update * mask
+    return jnp.concatenate([new_quats, new_trans], axis=-1)
