@@ -152,18 +152,12 @@ def cmd_protein(args):
         "seq_idx": jax.numpy.arange(n)[None],
         "sc_ca_t": jax.numpy.zeros((1, n, 3)),
     }
-    net_a, pa = _build_protein_net(
+    model_a, sc_adapter_a = _build_protein_model(
         args.ckpt_a, IPAConfig.proteus_like, se3, feats0, jax.random.PRNGKey(1)
     )
-    net_b, pb = _build_protein_net(
+    model_b, sc_adapter_b = _build_protein_model(
         args.ckpt_b, IPAConfig.framediff_like, se3, feats0, jax.random.PRNGKey(2)
     )
-
-    def model_a(feats, t):
-        return net_a.apply({"params": pa}, feats)
-
-    def model_b(feats, t):
-        return net_b.apply({"params": pb}, feats)
 
     # seed-series over lengths (reference protocol: 50 seeds x lengths
     # {100,150,200,250,300}, proteins/README.md:99)
@@ -180,6 +174,7 @@ def cmd_protein(args):
             out = compose(
                 jax.random.PRNGKey(seed), model_a, model_b, se3,
                 n_res=length, cfg=cfg, batch=args.batch,
+                sc_adapter_a=sc_adapter_a, sc_adapter_b=sc_adapter_b,
             )
             tr = out["traces"]
             for b in range(args.batch):
@@ -206,41 +201,116 @@ def _load_or_init(net, feats0, ckpt: str, key):
     return net.init(key, feats0)["params"]
 
 
-def _build_protein_net(ckpt, fallback_cfg_fn, se3, feats0, key):
-    """Build a protein score model for composition.
+def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
+    """Build a protein score model for composition; returns
+    (model_fn, sc_adapter or None).
 
     Torch pickles (.pkl/.pth/.pt — the reference's checkpoint format with
     embedded conf, ``inference_se3_diffusion.py:130-159``) load into the
-    weight-compatible ``FrameDiffScoreNetwork``; orbax directories load this
-    framework's own nets; otherwise random init of the fallback config.
+    weight-compatible nets: Proteus checkpoints are detected by their
+    ``embedding_layer.template_embedder.*`` keys, FrameDiff otherwise.
+    Orbax directories load this framework's own nets; no checkpoint gives a
+    random init of the fallback config.
     """
     import jax
+    import jax.numpy as jnp
 
     if ckpt and ckpt.endswith((".pkl", ".pth", ".pt")):
         if not os.path.exists(ckpt):
             raise SystemExit(f"checkpoint not found: {ckpt}")
-        from .models.protein.convert import (
-            apply_framediff_state_dict,
-            load_torch_checkpoint,
+        from .models.protein import convert as pconvert
+        from .models.protein import rigid as prigid
+
+        sd, conf = pconvert.load_torch_checkpoint(ckpt)
+        is_proteus = any(
+            k.startswith("embedding_layer.template_embedder") for k in sd
         )
+        mc = conf.get("model", {}) if isinstance(conf, dict) else {}
+        if is_proteus:
+            from .models.protein.proteus import ProteusConfig, ProteusScoreNetwork
+
+            cfg = ProteusConfig.from_ckpt_conf(mc) if mc else ProteusConfig()
+            net = ProteusScoreNetwork(cfg)
+            b, n = feats0["res_mask"].shape
+
+            def pfeats(feats):
+                bb, nn_ = feats["res_mask"].shape
+                return {
+                    # init_feat defaults (fold_module.py:551+): ALA sequence,
+                    # ss/adjacency/hotspot mask categories, zero torsions
+                    "aatype": jnp.zeros((bb, nn_), jnp.int32),
+                    "residue_index": feats["seq_idx"].astype(jnp.int32),
+                    "chain_index": jnp.zeros((bb, nn_), jnp.int32),
+                    "res_mask": feats["res_mask"],
+                    "fixed_mask": feats["fixed_mask"],
+                    "rigids_t": feats["rigids_t"],
+                    "t": feats["t"],
+                    "ss": jax.nn.one_hot(jnp.full((bb, nn_), 3), 4),
+                    "adjacency": jax.nn.one_hot(jnp.full((bb, nn_, nn_), 2), 3),
+                    "hotspot": jax.nn.one_hot(jnp.zeros((bb, nn_), jnp.int32), 2),
+                    "torsion_angles_sin_cos": jnp.zeros((bb, nn_, 7, 2)),
+                }
+
+            params = jax.jit(net.init)(key, pfeats(feats0))["params"]
+            params, n_applied = pconvert.apply_proteus_state_dict(params, sd, cfg)
+            print(f"loaded Proteus checkpoint {ckpt}: {n_applied} tensors")
+
+            def model(feats, t):
+                out = net.apply(
+                    {"params": params}, pfeats(feats),
+                    self_condition=feats.get("self_cond"),
+                )
+                rigids_t = feats["rigids_t"]
+                # ScoreWrapper conversion (composition.py:45-94)
+                out["rot_score"] = se3.calc_rot_score(
+                    prigid.rigid_rotmat(rigids_t), out["pred_rotmats"],
+                    feats["t"][:, None],
+                )
+                out["trans_score"] = se3.calc_trans_score(
+                    prigid.rigid_trans(rigids_t), out["pred_trans"],
+                    feats["t"][:, None, None],
+                )
+                return out
+
+            def sc_init(init_rigids):
+                bb, nn_ = init_rigids.shape[:2]
+                return {
+                    "final_atom_positions": jnp.zeros((bb, nn_, 37, 3)),
+                    "final_atom_mask": jnp.zeros((bb, nn_, 37)),
+                    "active": jnp.float32(0.0),
+                }
+
+            def sc_update(out):
+                return {
+                    "final_atom_positions": out["final_atom_positions"],
+                    "final_atom_mask": out["final_atom_mask"],
+                    "active": jnp.float32(1.0),
+                }
+
+            return model, (sc_init, sc_update)
+
         from .models.protein.framediff import FrameDiffConfig, FrameDiffScoreNetwork
 
-        sd, conf = load_torch_checkpoint(ckpt)
-        cfg = (
-            FrameDiffConfig.from_ckpt_conf(conf["model"])
-            if isinstance(conf, dict) and "model" in conf
-            else FrameDiffConfig()
-        )
+        cfg = FrameDiffConfig.from_ckpt_conf(mc) if mc else FrameDiffConfig()
         net = FrameDiffScoreNetwork(cfg, score_calc=se3)
         params = jax.jit(net.init)(key, feats0)["params"]
-        params, n_applied = apply_framediff_state_dict(params, sd, cfg)
-        print(f"loaded torch checkpoint {ckpt}: {n_applied} tensors converted")
-        return net, params
+        params, n_applied = pconvert.apply_framediff_state_dict(params, sd, cfg)
+        print(f"loaded FrameDiff checkpoint {ckpt}: {n_applied} tensors")
+
+        def model(feats, t):
+            return net.apply({"params": params}, feats)
+
+        return model, None
 
     from .models.protein import IPAConfig, IPAScoreNetwork  # noqa: F811
 
     net = IPAScoreNetwork(fallback_cfg_fn(), se3)
-    return net, _load_or_init(net, feats0, ckpt, key)
+    params = _load_or_init(net, feats0, ckpt, key)
+
+    def model(feats, t):
+        return net.apply({"params": params}, feats)
+
+    return model, None
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -261,3 +261,159 @@ def load_framediff_checkpoint(path: str, params: dict):
     )
     params, n = apply_framediff_state_dict(params, sd, cfg)
     return cfg, params, n
+
+
+# ---------------------------------------------------------------------------
+# Proteus mapping
+# ---------------------------------------------------------------------------
+
+
+def _attn(torch_mod: str, flax_path: str, gating: bool = True):
+    m = []
+    for lin in ("linear_q", "linear_k", "linear_v"):  # bias-free
+        m += [(f"{torch_mod}.{lin}.weight", f"{flax_path}/{lin}/kernel", _T)]
+    if gating:
+        m += _linear(f"{torch_mod}.linear_g", f"{flax_path}/linear_g")
+    m += _linear(f"{torch_mod}.linear_o", f"{flax_path}/linear_o")
+    return m
+
+
+def _tri_mul(torch_mod: str, flax_path: str):
+    m = []
+    for lin in ("linear_a_p", "linear_a_g", "linear_b_p", "linear_b_g",
+                "linear_g", "linear_z"):
+        m += _linear(f"{torch_mod}.{lin}", f"{flax_path}/{lin}")
+    m += _ln(f"{torch_mod}.layer_norm_in", f"{flax_path}/layer_norm_in")
+    m += _ln(f"{torch_mod}.layer_norm_out", f"{flax_path}/layer_norm_out")
+    return m
+
+
+def _pair_transition(torch_mod: str, flax_path: str):
+    m = _ln(f"{torch_mod}.layer_norm", f"{flax_path}/layer_norm")
+    m += _linear(f"{torch_mod}.linear_1", f"{flax_path}/linear_1")
+    m += _linear(f"{torch_mod}.linear_2", f"{flax_path}/linear_2")
+    return m
+
+
+def proteus_mapping(cfg):
+    """(torch key, flax path, transform) for the Proteus ScoreNetwork.
+
+    cfg: a ProteusConfig (``models/protein/proteus.py``)."""
+    m = []
+    emb = "embedding_layer"
+    for e in ("node_embedder", "edge_embedder"):
+        for i, li in ((0, 0), (2, 1), (4, 2)):
+            m += _linear(f"{emb}.{e}.{i}", f"{emb}/{e}/linear_{li}")
+        m += _ln(f"{emb}.{e}.5", f"{emb}/{e}/ln")
+    for e in ("ss_embedder", "adjacency_embedder", "hotspot_embedder"):
+        m += _linear(f"{emb}.{e}", f"{emb}/{e}")
+    te_t, te_f = f"{emb}.template_embedder", f"{emb}/template_embedder"
+    m += _linear(f"{te_t}.self_condition_s", f"{te_f}/self_condition_s")
+    m += _linear(f"{te_t}.self_condition_z", f"{te_f}/self_condition_z")
+    m += _linear(f"{te_t}.template_angle_embedder.linear_1",
+                 f"{te_f}/template_angle_embedder/linear_1")
+    m += _linear(f"{te_t}.template_angle_embedder.linear_2",
+                 f"{te_f}/template_angle_embedder/linear_2")
+    m += _linear(f"{te_t}.template_pair_embedder.linear",
+                 f"{te_f}/template_pair_embedder/linear")
+    ps_t, ps_f = f"{te_t}.template_pair_stack", f"{te_f}/template_pair_stack"
+    m += _tri_mul(f"{ps_t}.tri_mul_out", f"{ps_f}/tri_mul_out")
+    m += _tri_mul(f"{ps_t}.tri_mul_in", f"{ps_f}/tri_mul_in")
+    m += _pair_transition(f"{ps_t}.pair_transition", f"{ps_f}/pair_transition")
+    m += _ln(f"{ps_t}.layer_norm", f"{ps_f}/layer_norm")
+    ce_t = f"{te_t}.template_cross_embedder"
+    ce_f = f"{te_f}/template_cross_embedder"
+    m += _attn(f"{ce_t}.template_pointwise_att.mha",
+               f"{ce_f}/template_pointwise_att/mha", gating=False)
+    m += _attn(f"{ce_t}.template_columnwise_attention.mha",
+               f"{ce_f}/template_columnwise_attention/mha", gating=True)
+
+    tr = "score_model.trunk"
+    for b in range(cfg.num_blocks):
+        ipa_t, ipa_f = f"{tr}.ipa_{b}", f"ipa_{b}"
+        for lin in ("linear_q", "linear_kv", "linear_q_points",
+                    "linear_kv_points", "linear_b", "down_z", "linear_out"):
+            m += _linear(f"{ipa_t}.{lin}", f"{ipa_f}/{lin}")
+        m += [(f"{ipa_t}.head_weights", f"{ipa_f}/head_weights", _ID)]
+        m += _ln(f"{tr}.ipa_ln_{b}", f"ipa_ln_{b}")
+        m += _linear(f"{tr}.skip_embed_{b}", f"skip_embed_{b}")
+        for l in range(cfg.seq_tfmr_num_layers):
+            tl, fl = f"{tr}.seq_tfmr_{b}.layers.{l}", f"seq_tfmr_{b}_layer_{l}"
+            m += [
+                (f"{tl}.self_attn.in_proj_weight", f"{fl}/in_proj/kernel", _T),
+                (f"{tl}.self_attn.in_proj_bias", f"{fl}/in_proj/bias", _ID),
+            ]
+            m += _linear(f"{tl}.self_attn.out_proj", f"{fl}/out_proj")
+            m += _linear(f"{tl}.linear1", f"{fl}/linear1")
+            m += _linear(f"{tl}.linear2", f"{fl}/linear2")
+            m += _ln(f"{tl}.norm1", f"{fl}/norm1")
+            m += _ln(f"{tl}.norm2", f"{fl}/norm2")
+        m += _linear(f"{tr}.post_tfmr_{b}", f"post_tfmr_{b}")
+        for lin in ("linear_1", "linear_2", "linear_3"):
+            m += _linear(f"{tr}.node_transition_{b}.{lin}",
+                         f"node_transition_{b}/{lin}")
+        m += _ln(f"{tr}.node_transition_{b}.ln", f"node_transition_{b}/ln")
+        m += _linear(f"{tr}.bb_update_{b}.linear", f"bb_update_{b}")
+        if b < cfg.num_blocks - 1:
+            et, ef = f"{tr}.edge_transition_{b}", f"edge_transition_{b}"
+            for lin in ("proj_left", "proj_right", "to_gate", "emb_rbf"):
+                m += _linear(f"{et}.{lin}", f"{ef}/{lin}")
+            m += [(f"{et}.to_bias.weight", f"{ef}/to_bias/kernel", _T)]
+            m += _tri_mul(f"{et}.tri_mul_out", f"{ef}/tri_mul_out")
+            m += _tri_mul(f"{et}.tri_mul_in", f"{ef}/tri_mul_in")
+            m += _attn(f"{et}.mha_start", f"{ef}/mha_start")
+            m += _attn(f"{et}.mha_end", f"{ef}/mha_end")
+            m += _ln(f"{et}.layer_norm", f"{ef}/layer_norm")
+    for lin in ("linear_1", "linear_2", "linear_final"):
+        m += _linear(f"score_model.torsion_pred.{lin}", f"torsion_pred/{lin}")
+    for head in ("dist_head", "omega_head", "theta_head", "phi_head"):
+        m += _linear(f"auxiliary_heads.{head}.linear", f"{head}/linear")
+    return m
+
+
+def proteus_unused_keys(cfg):
+    """Checkpoint tensors the reference inference forward never uses."""
+    keys = ["score_model.torsion_pred.linear_3.weight",
+            "score_model.torsion_pred.linear_3.bias"]
+    for b in range(cfg.num_blocks):
+        keys += [
+            f"score_model.trunk.ipa_{b}.linear_rbf.weight",
+            f"score_model.trunk.ipa_{b}.linear_rbf.bias",
+        ]
+        if b < cfg.num_blocks - 1:
+            # LocalTriangleAttentionNew declares pair_transition but never
+            # calls it (ipa_pytorch.py:284-287 vs 391-417)
+            pt = f"score_model.trunk.edge_transition_{b}.pair_transition"
+            keys += [
+                f"{pt}.layer_norm.weight", f"{pt}.layer_norm.bias",
+                f"{pt}.linear_1.weight", f"{pt}.linear_1.bias",
+                f"{pt}.linear_2.weight", f"{pt}.linear_2.bias",
+            ]
+    return keys
+
+
+def apply_proteus_state_dict(params: dict, sd: Dict[str, np.ndarray], cfg):
+    """Write a reference Proteus state_dict into a Flax tree; loud failure."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    mapping = proteus_mapping(cfg)
+    applied, missing = 0, []
+    for tk, fp, tf in mapping:
+        if tk not in sd:
+            missing.append(tk)
+            continue
+        _set(params, fp, sd[tk].T if tf == _T else sd[tk])
+        applied += 1
+    if missing:
+        raise KeyError(
+            f"checkpoint is missing {len(missing)} expected tensors, e.g. "
+            f"{missing[:5]}"
+        )
+    leftover = set(sd) - {tk for tk, _, _ in mapping} - set(proteus_unused_keys(cfg))
+    if leftover:
+        warnings.warn(
+            f"{len(leftover)} unconverted checkpoint tensors: "
+            f"{sorted(leftover)[:8]}", stacklevel=2,
+        )
+    return params, applied

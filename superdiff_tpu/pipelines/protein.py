@@ -95,12 +95,23 @@ def compose(
     init_rigids: Optional[Array] = None,
     res_mask: Optional[Array] = None,
     fixed_mask: Optional[Array] = None,
+    sc_adapter_a: Optional[tuple] = None,
+    sc_adapter_b: Optional[tuple] = None,
 ) -> dict:
     """Run the composed reverse trajectory; returns final rigids + traces.
 
     ``model_a`` plays the Proteus role (kappa weights it), ``model_b`` the
     FrameDiff role. Both receive the same feature dict plus their own
     self-conditioning carry.
+
+    ``sc_adapter_*``: optional ``(sc_init, sc_update)`` pair customizing the
+    self-conditioning carry — ``sc_init(init_rigids) -> pytree`` and
+    ``sc_update(model_out) -> pytree``. The default carries predicted CA
+    positions as ``sc_ca_t`` (the FrameDiff convention,
+    ``composition.py:251-252``); the faithful Proteus model instead carries
+    its full atom37 output as the next step's template self-condition
+    (``one_step_proteus``, ``composition.py:209-218``). Non-array carries
+    are delivered to the model under ``feats['self_cond']``.
     """
     r3, so3 = diffuser.r3, diffuser.so3
     reverse_steps = np.linspace(cfg.min_t, 1.0, cfg.num_t)[::-1]
@@ -132,15 +143,18 @@ def compose(
         esm_flags[np.linspace(0, cfg.num_t - 1, num_esm, dtype=int)] = 1.0
     esm_flags = jnp.asarray(esm_flags[: cfg.num_t - 1])
 
-    def feats_for(rigids_t, t, sc_ca, struct2seq=None):
+    def feats_for(rigids_t, t, sc, struct2seq=None):
         f = {
             "rigids_t": rigids_t,
             "res_mask": mask,
             "fixed_mask": fmask,
             "t": jnp.full((batch,), t),
             "seq_idx": seq_idx,
-            "sc_ca_t": sc_ca,
         }
+        if isinstance(sc, jax.Array):
+            f["sc_ca_t"] = sc
+        else:
+            f["self_cond"] = sc
         if struct2seq is not None:
             f["struct2seq"] = struct2seq
         return f
@@ -211,8 +225,10 @@ def compose(
             diffuse_mask=diffuse_mask, center=cfg.center,
             dx_trans=dx_tr, dx_rots=dx_ro,
         )
-        new_sc_a = out_a["pred_trans"]
-        new_sc_b = out_b["pred_trans"]
+        new_sc_a = (sc_adapter_a[1](out_a) if sc_adapter_a
+                    else out_a["pred_trans"])
+        new_sc_b = (sc_adapter_b[1](out_b) if sc_adapter_b
+                    else out_b["pred_trans"])
         trace = {
             "kappa_trans": k_tr, "kappa_rots": k_ro,
             "ll_a_trans": new_ll[0], "ll_b_trans": new_ll[1],
@@ -222,7 +238,9 @@ def compose(
         return (new_rigids, new_sc_a, new_sc_b, *new_ll), trace
 
     sc0 = rigid.rigid_trans(init_rigids)
-    carry0 = (init_rigids, sc0, sc0, zeros_ll, zeros_ll, zeros_ll, zeros_ll)
+    sc_a0 = sc_adapter_a[0](init_rigids) if sc_adapter_a else sc0
+    sc_b0 = sc_adapter_b[0](init_rigids) if sc_adapter_b else sc0
+    carry0 = (init_rigids, sc_a0, sc_b0, zeros_ll, zeros_ll, zeros_ll, zeros_ll)
     steps = (jnp.arange(cfg.num_t - 1), ts, esm_flags)
     (final_rigids, *_), traces = jax.lax.scan(body, carry0, steps)
 

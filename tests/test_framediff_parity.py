@@ -125,6 +125,12 @@ def test_numerical_parity_vs_reference_torch(tmp_path):
 
     torch.manual_seed(0)
     tnet = score_network.ScoreNetwork(model_conf, _NoScoreDiffuser()).eval()
+    # the reference zero-inits every update/output head ("final" init), which
+    # would make rigids/psi comparisons trivially pass (identity function) —
+    # perturb ALL weights so the full trunk actually shapes the outputs
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.add_(0.03 * torch.randn_like(p))
     sd_path = tmp_path / "framediff_test.pkl"
     torch.save({"model": {("module." + k): v for k, v in tnet.state_dict().items()}},
                str(sd_path))
@@ -155,8 +161,9 @@ def test_numerical_parity_vs_reference_torch(tmp_path):
     with torch.no_grad():
         tout = tnet(tfeats)
 
+    # fp32 accumulation through 4 IPA blocks: tiny per-element drift
     np.testing.assert_allclose(
-        np.asarray(out["psi"]), tout["psi"].numpy(), rtol=1e-4, atol=1e-4
+        np.asarray(out["psi"]), tout["psi"].numpy(), rtol=2e-3, atol=5e-4
     )
     # compare geometry as rotation matrices + translations (quat sign-free)
     from superdiff_tpu.models.protein import rigid as R
@@ -165,8 +172,8 @@ def test_numerical_parity_vs_reference_torch(tmp_path):
     ours_trans = np.asarray(R.rigid_trans(out["rigids"]))
     theirs = tout["rigids"].numpy()
     theirs_rot = np.asarray(R.quat_to_rotmat(jnp.asarray(theirs[..., :4])))
-    np.testing.assert_allclose(ours_rot, theirs_rot, rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(ours_trans, theirs[..., 4:], rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(ours_rot, theirs_rot, rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(ours_trans, theirs[..., 4:], rtol=2e-3, atol=2e-3)
 
 
 def test_framediff_net_drives_composition():
