@@ -315,6 +315,13 @@ def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="superdiff_tpu")
+    # multi-host: same entry point on every process of a slice (the
+    # reference's LOCAL_RANK / process_index plumbing, SURVEY.md §5.8);
+    # defaults are no-ops on single-process runs.
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("cifar", help="CIFAR train/eval (cifar/main.py modes)")
@@ -381,6 +388,14 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.coordinator_address or args.num_processes:
+        from .parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     args.fn(args)
 
 

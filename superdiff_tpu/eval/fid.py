@@ -65,12 +65,37 @@ def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]
     return float(np.mean(scores)), float(np.std(scores))
 
 
-def get_inception_feature_fn(weights_path: Optional[str] = None) -> Optional[Callable]:
-    """Keras InceptionV3 pool3 feature extractor, or None when unavailable.
+def get_jax_inception_feature_fn(
+    weights_path: str, with_logits: bool = False
+) -> Optional[Callable]:
+    """On-TPU InceptionV3 extractor (``models/inception.py`` port): runs
+    pool3 (and optionally the logits head) as a jitted XLA program on the
+    same devices as sampling — the TPU-native replacement for the
+    reference's TF-on-'/TPU:i' placement (``cifar/evaluation.py:21-33``).
 
-    ``weights_path``: local .h5 weights (no network in this environment);
-    passing 'imagenet' attempts the standard download when egress exists.
+    ``weights_path``: a converted ``.npz`` or any Keras InceptionV3 ``.h5``
+    (legacy release layout or Keras-3 ``.weights.h5``). Returns None if the
+    file can't be read/converted.
     """
+    from ..models import inception
+
+    try:
+        params = inception.load_params(weights_path)
+    except Exception:
+        return None
+    return inception.make_feature_fn(params, with_logits=with_logits)
+
+
+def get_inception_feature_fn(weights_path: Optional[str] = None) -> Optional[Callable]:
+    """InceptionV3 pool3 feature extractor, or None when unavailable.
+
+    Prefers the JAX-native port (runs on the TPU mesh); falls back to Keras
+    for 'imagenet' (download — needs egress) or unconvertible files.
+    """
+    if weights_path and weights_path != "imagenet":
+        fn = get_jax_inception_feature_fn(weights_path)
+        if fn is not None:
+            return fn
     try:
         import tensorflow as tf
     except Exception:
@@ -97,6 +122,16 @@ def get_inception_feature_fn(weights_path: Optional[str] = None) -> Optional[Cal
 def get_inception_logits_fn(weights_path: Optional[str] = None) -> Optional[Callable]:
     """Full InceptionV3 class-logits extractor for IS (the reference computes
     IS from Inception's own final layer over pool3, ``evals.ipynb`` cell 13)."""
+    if weights_path and weights_path != "imagenet":
+        from ..models import inception
+
+        try:
+            params = inception.load_params(weights_path)
+        except Exception:
+            params = None
+        if params is not None and "predictions" in params:
+            fn = inception.make_feature_fn(params, with_logits=True)
+            return lambda imgs, batch_size=256: fn(imgs)[1]
     try:
         import tensorflow as tf
 

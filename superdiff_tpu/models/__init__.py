@@ -8,4 +8,6 @@ __all__ = [
     "stack_params",
     "unstack_params",
     "make_stacked_score_fn",
+    # heavier optional modules (inception, ncsn_layers, normalization, sd,
+    # protein) are imported by path to keep package import light
 ]

@@ -162,8 +162,15 @@ class Tokenizer:
         eos = self.EOS if self.EOS < c.vocab_size else 2
         ids = np.full((len(prompts), c.max_length), eos, dtype=np.int32)
         ids[:, 0] = bos
+        import zlib
+
         for i, p in enumerate(prompts):
-            toks = [3 + (hash(w) % (c.vocab_size - 4)) for w in p.lower().split()]
+            # crc32, not hash(): Python string hashing is salted per process
+            # (PYTHONHASHSEED), which would make seeded runs irreproducible
+            toks = [
+                3 + (zlib.crc32(w.encode()) % (c.vocab_size - 4))
+                for w in p.lower().split()
+            ]
             toks = toks[: c.max_length - 2]
             ids[i, 1 : 1 + len(toks)] = toks
             ids[i, 1 + len(toks)] = eos

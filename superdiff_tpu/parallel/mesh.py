@@ -12,8 +12,12 @@ Axes:
     (model-ensemble parallelism, SURVEY.md §2.5), and/or (b) intra-model
     tensor sharding for large nets (SD UNet).
 
-Multi-host: `jax.distributed.initialize` is the caller's responsibility; all
-helpers here operate on ``jax.devices()`` and are host-count agnostic.
+Multi-host: ``parallel.distributed.initialize()`` (wired into the CLI) sets
+up the process group; ``make_multihost_mesh`` then builds a
+('dcn', 'data', 'model') mesh whose leading axis spans processes — data
+parallelism shards over ('dcn', 'data') jointly, so gradient reductions ride
+ICI within a host and cross DCN once per host (the scaling-book layout).
+``dp_spec(mesh)`` picks the right batch PartitionSpec for either mesh shape.
 """
 
 from __future__ import annotations
@@ -47,9 +51,39 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_multihost_mesh(
+    model: int = 1, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """('dcn', 'data', 'model') mesh for multi-process runs.
+
+    ``jax.devices()`` orders devices process-major, so reshaping to
+    (process_count, local_data, model) puts each host's chips contiguous on
+    the 'data' axis: DP collectives reduce over ICI first, then once over
+    DCN per host. Falls back to dcn=1 in single-process runs (same program
+    works on one chip or a multi-host slice)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_proc = jax.process_count()
+    n = len(devices)
+    assert n % (n_proc * model) == 0, (
+        f"{n} devices not divisible by processes={n_proc} x model={model}"
+    )
+    arr = np.asarray(devices).reshape(n_proc, n // (n_proc * model), model)
+    return Mesh(arr, axis_names=("dcn", "data", "model"))
+
+
+def dp_spec(mesh: Mesh, *trailing) -> P:
+    """Batch-dim PartitionSpec for this mesh: ('dcn', 'data') jointly when a
+    DCN axis exists, else 'data'. ``trailing`` extends the spec for extra
+    dims."""
+    if "dcn" in mesh.axis_names:
+        return P(("dcn", "data"), *trailing)
+    return P("data", *trailing)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding for host-fed arrays: (B, ...) split over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Batch-dim sharding for host-fed arrays: (B, ...) split over the data
+    axes (incl. DCN on multi-host meshes)."""
+    return NamedSharding(mesh, dp_spec(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

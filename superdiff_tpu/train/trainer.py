@@ -102,8 +102,10 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
+    from ..parallel.mesh import dp_spec
+
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("data"))
+    batch_sh = NamedSharding(mesh, dp_spec(mesh))
     return jax.jit(
         step_fn,
         in_shardings=(repl, batch_sh),

@@ -106,3 +106,95 @@ def test_esm_gating_subschedule_flags():
     flags = np.zeros(cfg.num_t)
     flags[np.linspace(0, cfg.num_t - 1, num_esm, dtype=int)] = 1
     assert flags.sum() == 3  # 30% of 10 steps flagged
+
+
+# -- NCSN layer zoo + conditional normalization (inventory parity) ----------
+
+
+def test_ncsn_refineblock_shapes():
+    """RefineNet pyramid: two scales fuse to the output shape
+    (cifar/models/layers.py:237-273 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superdiff_tpu.models.ncsn_layers import RefineBlock
+
+    k = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(k, (2, 8, 8, 16))
+    x2 = jax.random.normal(k, (2, 4, 4, 16))
+    blk = RefineBlock(output_shape=(8, 8), features=16)
+    params = blk.init(k, [x1, x2])
+    out = blk.apply(params, [x1, x2])
+    assert out.shape == (2, 8, 8, 16)
+    assert jnp.isfinite(out).all()
+    # start/end variants
+    blk_s = RefineBlock(output_shape=(4, 4), features=16, start=True, end=True)
+    p2 = blk_s.init(k, [x2])
+    assert blk_s.apply(p2, [x2]).shape == (2, 4, 4, 16)
+
+
+def test_ncsn_cond_refineblock_uses_condition():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superdiff_tpu.models.ncsn_layers import CondRefineBlock
+    from superdiff_tpu.models.normalization import get_normalization
+
+    norm = get_normalization("InstanceNorm++", conditional=True, num_classes=4)
+    k = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(k, (2, 8, 8, 8))
+    x2 = jax.random.normal(k, (2, 4, 4, 8))
+    y = jnp.asarray([0, 1])
+    blk = CondRefineBlock(output_shape=(8, 8), features=8, normalizer=norm)
+    params = blk.init(k, [x1, x2], y)
+    out = blk.apply(params, [x1, x2], y)
+    assert out.shape == (2, 8, 8, 8)
+    # a different class index changes the output (the condition is live)
+    out2 = blk.apply(params, [x1, x2], jnp.asarray([2, 3]))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_conditional_instance_norm_plus_matches_reference_structure():
+    """gamma/alpha start near 1, beta near 0: at init the conditional norm is
+    close to the unconditional InstanceNorm++ with default params
+    (normalization.py:110-134 init scheme)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superdiff_tpu.models.normalization import (
+        ConditionalInstanceNorm2dPlus,
+        InstanceNorm2dPlus,
+    )
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 6, 6, 5)) * 2.0 + 1.0
+    y = jnp.asarray([3, 7])
+    cond = ConditionalInstanceNorm2dPlus(num_classes=10)
+    pc = cond.init(k, x, y)
+    out_c = cond.apply(pc, x, y)
+    un = InstanceNorm2dPlus()
+    pu = un.init(k, x)
+    out_u = un.apply(pu, x)
+    assert out_c.shape == out_u.shape == x.shape
+    # both are ~N(0,1)-normalized re-scalings: same magnitude structure
+    np.testing.assert_allclose(
+        np.std(np.asarray(out_c)), np.std(np.asarray(out_u)), rtol=0.3
+    )
+    # different embeddings for different classes
+    out_c2 = cond.apply(pc, x, jnp.asarray([1, 2]))
+    assert not np.allclose(np.asarray(out_c), np.asarray(out_c2))
+
+
+def test_mean_pool_conv_pairs_halve_resolution():
+    import jax
+
+    from superdiff_tpu.models.ncsn_layers import ConvMeanPool, MeanPoolConv
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 8, 8, 4))
+    for cls in (ConvMeanPool, MeanPoolConv):
+        m = cls(output_dim=6)
+        p = m.init(k, x)
+        assert m.apply(p, x).shape == (2, 4, 4, 6)
