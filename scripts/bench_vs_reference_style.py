@@ -47,8 +47,7 @@ def main():
 
     p1, p2 = init(key), init(jax.random.PRNGKey(1))
     sched = VPSchedule()
-    B, STEPS = 512, 200
-    x1 = jax.random.normal(jax.random.PRNGKey(2), (B, 32, 32, 3))
+    STEPS = 200
 
     # ---- reference-style: host loop, serial per-model forwards ----------
     def apply_one(p, t, x):
@@ -68,9 +67,9 @@ def main():
         dlogq = ito.dlogq_sde_vp(sscores, x, dx, t, dt, sched)
         return x + dx, ito.renormalize_logq(logq + dlogq)
 
-    def ref_style_run(k):
-        x = x1
-        logq = jnp.zeros((B, 2))
+    def ref_style_run(k, x):
+        b = x.shape[0]
+        logq = jnp.zeros((b, 2))
         dt = jnp.float32(1.0 / STEPS)
         t = 1.0
         for i in range(STEPS):  # host-side Python loop (eval_utils.py:61-66)
@@ -86,18 +85,33 @@ def main():
     cfg = SuperposeConfig(n_steps=STEPS, mode="sde", operator="or", fused_kernel=True)
     ours = jax.jit(lambda k, x: superpose(k, x, score_fn, sched, cfg, n_models=2)[0])
 
+    # Two regimes: B=64 is dispatch-bound (per-step host dispatch through the
+    # runtime is a large fraction of the ~25 ms step), B=512 compute-bound
+    # (the two UNet forwards dominate; orchestration is noise). The one-scan
+    # design's win is the former; the latter measures parity of the math.
     results = {}
-    for name, fn in [("reference_style", ref_style_run), ("superdiff_tpu", lambda k: ours(k, x1))]:
-        sync(fn(jax.random.PRNGKey(10)))
-        sync(fn(jax.random.PRNGKey(11)))
-        t0 = time.perf_counter()
-        sync(fn(jax.random.PRNGKey(12)))
-        dt = time.perf_counter() - t0
-        results[name] = {"seconds": round(dt, 2), "images_per_sec": round(B / dt, 1)}
-        print(f"[vs-ref] {name}: {dt:.2f}s ({B/dt:.1f} img/s)", file=sys.stderr, flush=True)
+    for B in (64, 512):
+        x1 = jax.random.normal(jax.random.PRNGKey(2), (B, 32, 32, 3))
+        r = {}
+        for name, fn in [("reference_style", ref_style_run), ("superdiff_tpu", ours)]:
+            sync(fn(jax.random.PRNGKey(10), x1))
+            sync(fn(jax.random.PRNGKey(11), x1))
+            best = float("inf")
+            for rep in (12, 13):
+                t0 = time.perf_counter()
+                sync(fn(jax.random.PRNGKey(rep), x1))
+                best = min(best, time.perf_counter() - t0)
+            r[name] = {"seconds": round(best, 2), "images_per_sec": round(B / best, 1)}
+            print(f"[vs-ref] B={B} {name}: {best:.2f}s ({B/best:.1f} img/s)",
+                  file=sys.stderr, flush=True)
+        r["speedup"] = round(
+            r["reference_style"]["seconds"] / r["superdiff_tpu"]["seconds"], 2
+        )
+        results[f"batch_{B}"] = r
 
-    results["speedup"] = round(
-        results["reference_style"]["seconds"] / results["superdiff_tpu"]["seconds"], 2
+    results["note"] = (
+        "speedup at batch_64 = dispatch-bound regime (scan wins); "
+        "batch_512 = compute-bound (same 2 forwards dominate both)"
     )
     print(json.dumps(results))
     return results

@@ -1,0 +1,215 @@
+"""Trained-model quality table on one chip (the evals.ipynb protocol).
+
+Reproduces the reference's CIFAR evaluation matrix (``notebooks/evals.ipynb``
+cells 5/8/10: single-model FID, joint-composition FID, per-split models,
+pool-mixed baseline, sanity bounds) end-to-end on the attached TPU, with the
+two environment stand-ins this image forces — both documented in the output:
+
+* data: the synthetic class-structured CIFAR stand-in from
+  ``data/datasets.py`` (real CIFAR-10 binaries absent, no egress);
+* features: the JAX InceptionV3 port (``models/inception.py``) with a FIXED
+  seeded random init ("random-feature FID" — a valid two-sample discrepancy;
+  the identical code path runs the released imagenet weights when supplied).
+
+The numbers are therefore NOT comparable to BASELINE.md's values, but the
+*orderings* the reference table exhibits must reproduce: train-subset FID
+~0, noise FID enormous, trained models far below untrained, joint
+composition between/below the single models, FID falling with training.
+
+  python scripts/quality_report.py [--iters 3000] [--n_samples 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def log(m):
+    print(f"[quality] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/quality_report")
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--n_samples", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--out", default="QUALITY.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from superdiff_tpu.data.datasets import ImageDataset, get_image_inverse_scaler
+    from superdiff_tpu.eval import fid as fid_lib
+    from superdiff_tpu.eval import fld as fld_lib
+    from superdiff_tpu.eval.bpd import make_bpd_estimator
+    from superdiff_tpu.core import VPSchedule
+    from superdiff_tpu.models import inception
+    from superdiff_tpu.pipelines import cifar as C
+    from superdiff_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    # -- fixed-seed random-feature InceptionV3 (documented stand-in) --------
+    feat_params = inception.init_params(jax.random.PRNGKey(1234), include_top=False)
+    feature_fn = inception.make_feature_fn(feat_params, batch_size=256)
+    inception.save_npz(feat_params, os.path.join(args.workdir, "feature_net.npz"))
+
+    # -- dataset features ---------------------------------------------------
+    def split_features(split, n):
+        ds = ImageDataset("CIFAR10", split, seed=0)
+        feats, seen = [], 0
+        for b in ds.batches(args.batch, uniform_dequantization=False,
+                            random_flip=False, scale_to_pm1=False, loop=False):
+            imgs = (b["image"] * 255).astype(np.uint8)
+            feats.append(feature_fn(imgs))
+            seen += len(imgs)
+            if seen >= n:
+                break
+        return np.concatenate(feats)[:n]
+
+    N_REF = max(args.n_samples, 2048)
+    log("extracting dataset features")
+    train_feats = split_features("train", N_REF)
+    test_feats = split_features("test", N_REF)
+
+    # -- train the model pair (reference UNet config, class-split data) -----
+    def cfg_for(split):
+        return C.CifarConfig(
+            train_split=split, batch_size=128, log_every=500,
+            save_every=args.iters, ema_rate=0.999,
+            eval_batch_size=args.batch, n_sample_steps=200,
+        )
+
+    states, cfgs = {}, {}
+    for name, split in (("A", "train<5"), ("B", "train>5")):
+        t0 = time.time()
+        cfgs[name] = cfg_for(split)
+        log(f"training model {name} on '{split}' ({args.iters} iters)")
+        states[name] = C.train(
+            cfgs[name], os.path.join(args.workdir, name.lower()), n_iters=args.iters
+        )
+        log(f"model {name} trained in {time.time() - t0:.0f}s")
+
+    model = cfgs["A"].model()
+    inverse = get_image_inverse_scaler()
+
+    def gen_features(params_list, mode, operator):
+        gen, _ = C.make_generator(model, params_list, cfgs["A"], mode=mode, operator=operator)
+        feats, key = [], jax.random.PRNGKey(7)
+        for i in range(-(-args.n_samples // args.batch)):
+            key, k = jax.random.split(key)
+            x0, _ = gen(k)
+            imgs = np.asarray(jnp.clip(inverse(x0) * 255.0, 0, 255).astype(jnp.uint8))
+            feats.append(feature_fn(imgs))
+        return np.concatenate(feats)[: args.n_samples]
+
+    pa, pb = states["A"].params_ema, states["B"].params_ema
+    runs = {
+        "model_A_sde": ([pa], "sde", "avg"),
+        "model_B_sde": ([pb], "sde", "avg"),
+        "joint_or_sde": ([pa, pb], "sde", "or"),
+        "joint_or_ode": ([pa, pb], "ode", "or"),
+        "joint_and_sde": ([pa, pb], "sde", "and"),
+    }
+    rows = {}
+    gen_feat_cache = {}
+    for name, (params, mode, op) in runs.items():
+        t0 = time.time()
+        log(f"sampling {name}")
+        f = gen_features(params, mode, op)
+        gen_feat_cache[name] = f
+        rows[name] = {
+            "fid_train": round(fid_lib.fid_from_features(train_feats, f), 3),
+            "fid_test": round(fid_lib.fid_from_features(test_feats, f), 3),
+            "seconds": round(time.time() - t0, 1),
+        }
+        log(f"{name}: {rows[name]}")
+
+    # pool-mixed baseline (evals.ipynb cell 11): mix A and B sample pools
+    mixed = np.concatenate(
+        [gen_feat_cache["model_A_sde"][: args.n_samples // 2],
+         gen_feat_cache["model_B_sde"][: args.n_samples // 2]]
+    )
+    rows["pool_mixed_baseline"] = {
+        "fid_train": round(fid_lib.fid_from_features(train_feats, mixed), 3),
+        "fid_test": round(fid_lib.fid_from_features(test_feats, mixed), 3),
+    }
+
+    # sanity bounds (evals.ipynb cell 15 analog)
+    rng = np.random.default_rng(0)
+    noise_imgs = rng.integers(0, 256, (args.n_samples, 32, 32, 3), dtype=np.uint8)
+    noise_feats = feature_fn(noise_imgs)
+    rows["sanity_train_subset"] = {
+        "fid_train": round(fid_lib.fid_from_features(train_feats, split_features("train[:20%]", args.n_samples)), 3)
+    }
+    rows["sanity_noise"] = {
+        "fid_train": round(fid_lib.fid_from_features(train_feats, noise_feats), 3)
+    }
+
+    # untrained-model bound: random-init params through the same sampler
+    p_rand = model.init(
+        {"params": jax.random.PRNGKey(99), "dropout": jax.random.PRNGKey(99)},
+        jnp.ones((1, 1, 1, 1)), jnp.zeros((1, 32, 32, 3)), None, train=False,
+    )["params"]
+    rows["untrained_model_sde"] = {
+        "fid_train": round(
+            fid_lib.fid_from_features(train_feats, gen_features([p_rand], "sde", "avg")), 3
+        )
+    }
+
+    # FLD on the same features (x3 repeats; eval_fld.ipynb protocol)
+    for name in ("model_A_sde", "joint_or_sde"):
+        m, s = fld_lib.fld_repeated(
+            gen_feat_cache[name][:512], train_feats[:2048], test_feats[:2048], repeats=3
+        )
+        rows[name]["fld"] = [round(m, 3), round(s, 3)]
+
+    # BPD of each trained model on held-out data (eval_utils.py:14-45 analog)
+    ds_test = ImageDataset("CIFAR10", "test", seed=0)
+    batch = next(ds_test.batches(64, uniform_dequantization=True,
+                                 random_flip=False, scale_to_pm1=True, loop=False))
+    x_test = jnp.asarray(batch["image"])
+    sched = VPSchedule()
+    for name in ("A", "B"):
+        params = states[name].params_ema
+
+        def score_apply(t, xx, p=params):
+            tb = jnp.broadcast_to(t, (xx.shape[0], 1, 1, 1))
+            return model.apply({"params": p}, tb, xx, None, train=False)
+
+        bpd_fn = jax.jit(make_bpd_estimator(score_apply, sched, n_steps=100))
+        bpd, _ = bpd_fn(jax.random.PRNGKey(3), x_test)
+        rows[f"model_{name}_sde"]["bpd_test"] = round(float(np.mean(np.asarray(bpd))), 4)
+
+    report = {
+        "protocol": "evals.ipynb cells 5/8/10/11/15 analog",
+        "stand_ins": {
+            "data": "synthetic class-structured CIFAR (data/datasets.py; real binaries absent)",
+            "features": "models/inception.py with fixed seed-1234 random init (random-feature FID)",
+        },
+        "train_iters": args.iters,
+        "n_samples": args.n_samples,
+        "rows": rows,
+        "orderings_expected": [
+            "sanity_train_subset << all generated",
+            "sanity_noise >> all trained models",
+            "untrained_model >> trained models",
+            "joint compositions comparable to single models",
+        ],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

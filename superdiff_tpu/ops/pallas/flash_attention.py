@@ -40,7 +40,7 @@ def _reference(q: Array, k: Array, v: Array, sm_scale: float) -> Array:
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k):
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k, scale):
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -49,22 +49,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k):
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0, :, :]  # (bq, D)
+    # scale q on its small (bq, D) tile in VMEM — scaling in the wrapper
+    # materialized an fp32 copy of the whole q tensor through HBM (an
+    # 0.8 ms layout copy per L0 layer in the trace); softmax runs in base 2
+    # — exp2 skips the x*log2(e) the VPU's exp pays internally.
+    q = q_ref[0, 0, :, :] * jnp.asarray(scale, q_ref.dtype)  # (bq, D)
     k = k_ref[0, 0, :, :]  # (bk, D)
     v = v_ref[0, 0, :, :]  # (bk, D)
 
-    # sm_scale is pre-folded into q by the wrapper (cheaper than scaling the
-    # (bq, bk) scores tile on the VPU every step)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk) fp32
+    )  # (bq, bk) fp32, base-2 logits
 
     m_prev = m_ref[:, 0:1]  # (bq, 1)
     l_prev = l_ref[:, 0:1]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)  # (bq, 1)
-    p = jnp.exp(s - m_next)  # (bq, bk) fp32; row max -> 1, so l >= 1
+    alpha = jnp.exp2(m_prev - m_next)  # (bq, 1)
+    p = jnp.exp2(s - m_next)  # (bq, bk) fp32; row max -> 1, so l >= 1
     l_ref[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
                                 l_ref.shape)
     m_ref[:] = jnp.broadcast_to(m_next, m_ref.shape)
@@ -79,17 +81,172 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k):
         o_ref[0, 0, :, :] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
 
 
-def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
+def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, bf16_probs, scale):
+    """Single-kv-block softmax: the whole row fits one tile (the measured-
+    fastest configuration at L=4096), so the online (m, l, acc) carry and
+    its rescaling rounds are dead weight — one max, one exp2, one sum."""
+    q = q_ref[0, 0, :, :] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, lk) fp32, base-2 logits (scale folded into the q tile)
+    m = jnp.max(s, axis=1, keepdims=True)
+    if bf16_probs:
+        # exp2 on the VPU in bf16 (packed, 2x lanes); row-sum recovered in
+        # fp32 from the same bf16 probs so o = pv/l stays consistent.
+        p = jnp.exp2((s - m).astype(jnp.bfloat16))
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0, :, :] = (pv / l).astype(o_ref.dtype)
+
+
+def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, bf16_probs, scale):
+    """All-heads-per-program single-block softmax, for short kv rows (text
+    cross-attention kv=77, self-attention at the 16x16/8x8 levels).
+
+    Per-head grids pay a fixed per-program cost that dominates when the
+    per-head tile is small (measured ~2 ms for L=256 self-attention at
+    B=24 — pure overhead); looping the 8 heads inside one program
+    amortizes it 8x. kv is tiny, so the whole (heads, lk, D) K/V block
+    plus one head's (bq, lk) score tile live in VMEM. The head loop is a
+    ``fori_loop`` (not an unrolled Python loop) so Mosaic reuses one
+    head's score/probs buffers instead of stacking all of them."""
+
+    def one_head(h, _):
+        q = q_ref[0, h, :, :] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, h, :, :]
+        v = v_ref[0, h, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        if bf16_probs:
+            p = jnp.exp2((s - m).astype(jnp.bfloat16))
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h, :, :] = (pv / l).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, heads, one_head, 0, unroll=False)
+
+
+
+def _kernel_nat(q_ref, k_ref, v_ref, o_ref, *, scale, bf16_probs):
+    """Native-layout single-kv-block kernel: blocks are lane-sliced head
+    columns of the packed (B, L, H*D) tensors — the UNet's own layout — so
+    no (B,L,H,D)->(B,H,L,D) transpose copies ever hit HBM (measured ~10 ms
+    of `data formatting` per forward at batch 24 before this)."""
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # (bq, D)
+    k = k_ref[0]  # (lk, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(s, axis=1, keepdims=True)
+    if bf16_probs:
+        p = jnp.exp2((s - m).astype(jnp.bfloat16))
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    else:
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+
+
+def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, bf16_probs):
+    """Native-layout all-heads kernel for short kv (cross-attention kv=77,
+    16x16/8x8 self levels): one program per q block processes every head via
+    static lane slices of the packed (bq, H*D) tile. Heads are unrolled in
+    Python — per-head score tiles are small (bq x lk), so Mosaic's
+    stack allocation of the unrolled bodies stays well under VMEM."""
+    d = head_dim
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        if bf16_probs:
+            p = jnp.exp2((s - m).astype(jnp.bfloat16))
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv / l).astype(o_ref.dtype)
+
+
+_LOG2_E = 1.4426950408889634
+
+
+def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret, bf16_probs=False):
     """q, k, v: (B, H, L, D) — Pallas block alignment needs (L, D) as the
     trailing dims (the wrapper transposes from the UNet's (B, L, H, D))."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     n_q, n_k = lq // block_q, lk // block_k
 
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # sm_scale and the base-2 conversion are folded into the q tile inside
+    # each kernel (scaling here would materialize a scaled copy of q in HBM)
+    scale = float(sm_scale * _LOG2_E)
     grid = (b, h, n_q, n_k)
+    if n_k == 1 and lk <= 1024:
+        # short kv: amortize per-program overhead over all heads
+        return pl.pallas_call(
+            functools.partial(_kernel_mh, heads=h, bf16_probs=False, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            grid=(b, n_q),
+            in_specs=[
+                pl.BlockSpec((1, h, block_q, d), lambda b, i: (b, 0, i, 0)),
+                pl.BlockSpec((1, h, lk, d), lambda b, i: (b, 0, 0, 0)),
+                pl.BlockSpec((1, h, lk, d), lambda b, i: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h, block_q, d), lambda b, i: (b, 0, i, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(q, k, v)
+    if n_k == 1:
+        return pl.pallas_call(
+            functools.partial(_kernel_1block, bf16_probs=bf16_probs, scale=scale),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            grid=(b, h, n_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, h, i: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(q, k, v)
     return pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
+        functools.partial(_kernel, n_k=n_k, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
@@ -112,6 +269,40 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
 def _flash(q, k, v, sm_scale, block_q, block_k, interpret):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = float(sm_scale * _LOG2_E)
+    if block_k == lk and lk <= 256:
+        # short kv (cross-attention kv=77, 16x16/8x8 self levels): the
+        # native-layout all-heads kernel on packed (B, L, H*D) views
+        # (reshape is a free bitcast; no transposes). Mosaic requires lane
+        # blocks to be 128-multiples or the full dim, so per-head lane
+        # slicing (head_dim 40) is only legal with the full H*D block —
+        # which bounds this path to short kv, where the per-head score
+        # tiles of the unrolled head loop stay small.
+        q3 = q.reshape(b, lq, h * d)
+        k3 = k.reshape(b, lk, h * d)
+        v3 = v.reshape(b, lk, h * d)
+        n_q = lq // block_q
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_mh_nat, heads=h, head_dim=d, scale=scale,
+                bf16_probs=False,
+            ),
+            out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+            grid=(b, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q3, k3, v3)
+        return out.reshape(b, lq, h, d)
     out = _flash_impl(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
         sm_scale, block_q, block_k, interpret,
@@ -152,12 +343,22 @@ def flash_mha(
     # vs 15.7 at 1024/1024) — one softmax pass, no online rescaling rounds.
     # Scores tile 512x4096 fp32 = 8 MB VMEM, well within budget.
     block_q = block_q or min(512, lq)
-    block_k = block_k or min(4096, lk)
-    # shrink to the largest divisor tile (shapes here are powers of two)
+    if lk <= 1024:
+        # short kv (77-token text cross-attention, 16x16/8x8 self levels):
+        # the whole row is one block for the all-heads kernel. XLA's einsum
+        # path materializes fp32 logits through HBM even at kv=77 (measured
+        # 2.3 ms/layer at L=4096 — ~1 GB of score traffic); the kernel keeps
+        # them in VMEM.
+        block_k = lk
+        block_q = min(block_q or 512, lq)
+    else:
+        block_k = block_k or min(4096, lk)
+    # shrink to the largest divisor tile (sequence lengths here are powers
+    # of two; kv=77 only occurs with block_k == lk, which always divides)
     while lq % block_q:
         block_q //= 2
     while lk % block_k:
         block_k //= 2
-    if block_q < 8 or block_k < 128:
+    if block_q < 8 or (block_k < 128 and block_k != lk):
         return _reference(q, k, v, sm_scale)
     return _flash(q, k, v, sm_scale, block_q, block_k, interpret)

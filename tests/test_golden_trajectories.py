@@ -19,6 +19,7 @@ import os
 import sys
 
 if __name__ == "__main__":  # regen mode runs outside pytest/conftest
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -27,6 +28,12 @@ if __name__ == "__main__":  # regen mode runs outside pytest/conftest
         ).strip()
 
 import jax
+
+if __name__ == "__main__":
+    # The env var alone loses to the pinned axon TPU plugin (CLAUDE.md);
+    # without this the goldens silently regenerate with TPU rounding and
+    # the CPU-forced pytest runs then fail at 1e-3.
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import pytest

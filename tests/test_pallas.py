@@ -101,8 +101,9 @@ def test_flash_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_flash_attention_short_kv_falls_back():
-    """77-token cross-attention kv can't tile; must route to the reference."""
+def test_flash_attention_short_kv_multihead_kernel():
+    """77-token cross-attention kv routes through the all-heads-per-program
+    kernel (kv <= 1024): one VMEM-resident softmax, no fp32 logits in HBM."""
     from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
 
     b, lq, lkv, h, d = 2, 128, 77, 4, 40
@@ -112,7 +113,20 @@ def test_flash_attention_short_kv_falls_back():
     v = jax.random.normal(ks[2], (b, lkv, h, d), jnp.float32)
     out = flash_mha(q, k, v)
     ref = _reference(q, k, v, d**-0.5)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_single_block_kernel():
+    """kv in (1024, 4096]: the per-head single-kv-block kernel (no online
+    rescaling carry) must match the reference."""
+    from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
+
+    b, l, h, d = 1, 2048, 2, 40
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks)
+    out = flash_mha(q, k, v, interpret=True)
+    ref = _reference(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_flash_attention_jvp_matches_reference_jvp():
