@@ -59,7 +59,10 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
 
     # -- fixed-seed random-feature InceptionV3 (documented stand-in) --------
-    feat_params = inception.init_params(jax.random.PRNGKey(1234), include_top=False)
+    log("initializing feature net (jitted — eager init is ~400 tunneled dispatches)")
+    feat_params = jax.jit(
+        lambda k: inception.init_params(k, include_top=False)
+    )(jax.random.PRNGKey(1234))
     feature_fn = inception.make_feature_fn(feat_params, batch_size=256)
     inception.save_npz(feat_params, os.path.join(args.workdir, "feature_net.npz"))
 
@@ -103,7 +106,12 @@ def main():
     inverse = get_image_inverse_scaler()
 
     def gen_features(params_list, mode, operator):
-        gen, _ = C.make_generator(model, params_list, cfgs["A"], mode=mode, operator=operator)
+        # vmap ensemble: the unrolled 2x full-size UNet sampler exceeds the
+        # tunneled remote-compile request size limit (HTTP 413)
+        gen, _ = C.make_generator(
+            model, params_list, cfgs["A"], mode=mode, operator=operator,
+            score_mode="vmap" if len(params_list) > 1 else "unroll",
+        )
         feats, key = [], jax.random.PRNGKey(7)
         for i in range(-(-args.n_samples // args.batch)):
             key, k = jax.random.split(key)
@@ -113,12 +121,14 @@ def main():
         return np.concatenate(feats)[: args.n_samples]
 
     pa, pb = states["A"].params_ema, states["B"].params_ema
+    # CIFAR-tier operators are OR and averaged, as in the reference's CIFAR
+    # stack (dynamics.py joint fields; AND lives in the SD/protein tiers)
     runs = {
         "model_A_sde": ([pa], "sde", "avg"),
         "model_B_sde": ([pb], "sde", "avg"),
         "joint_or_sde": ([pa, pb], "sde", "or"),
         "joint_or_ode": ([pa, pb], "ode", "or"),
-        "joint_and_sde": ([pa, pb], "sde", "and"),
+        "joint_avg_sde": ([pa, pb], "sde", "avg"),
     }
     rows = {}
     gen_feat_cache = {}

@@ -148,15 +148,20 @@ def make_generator(
     operator: str = "or",
     n_steps: Optional[int] = None,
     labels=None,
+    score_mode: str = "unroll",
 ):
-    """Jitted batch sampler over the superposition of the given checkpoints."""
+    """Jitted batch sampler over the superposition of the given checkpoints.
+
+    ``score_mode``: 'unroll' (fastest on one chip, ~6-20%, but compiles one
+    UNet body per model — at full reference size the 2-model program can
+    exceed remote-compile request limits) or 'vmap' (one shared body).
+    """
     schedule = VPSchedule()
     stacked = stack_params(list(params_list))
 
     def apply_eval(p, t, x, y):
         return model.apply({"params": p}, t, x, y, train=False)
 
-    score_fn = make_stacked_score_fn(apply_eval, stacked, labels=labels)
     sp_cfg = SuperposeConfig(
         n_steps=n_steps or cfg.n_sample_steps, mode=mode, operator=operator,
         # fused Pallas epilogue: measured +4% throughput and ~3x faster
@@ -166,12 +171,20 @@ def make_generator(
     shape = (cfg.eval_batch_size, cfg.image_size, cfg.image_size, cfg.num_channels)
     n_models = len(params_list)
 
+    # params enter as a jit ARGUMENT, not a closure: closed-over trees become
+    # HLO constants, and two full-size UNets (~290 MB fp32) embedded in the
+    # program exceed the tunneled remote-compiler's request size limit
+    # (HTTP 413) — and bloat the compile cache either way.
     @jax.jit
-    def generate(key):
+    def _generate(params, key):
+        score_fn = make_stacked_score_fn(apply_eval, params, labels=labels, mode=score_mode)
         init_key, path_key = jax.random.split(key)
         x1 = jax.random.normal(init_key, shape)
         x0, logq, nfe = superpose(path_key, x1, score_fn, schedule, sp_cfg, n_models)
         return x0, logq
+
+    def generate(key):
+        return _generate(stacked, key)
 
     return generate, sp_cfg.n_steps
 
