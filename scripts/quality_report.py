@@ -166,7 +166,7 @@ def main():
     }
 
     # untrained-model bound: random-init params through the same sampler
-    p_rand = model.init(
+    p_rand = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(99), "dropout": jax.random.PRNGKey(99)},
         jnp.ones((1, 1, 1, 1)), jnp.zeros((1, 32, 32, 3)), None, train=False,
     )["params"]
@@ -179,9 +179,15 @@ def main():
     # FLD on the same features (x3 repeats; eval_fld.ipynb protocol)
     for name in ("model_A_sde", "joint_or_sde"):
         m, s = fld_lib.fld_repeated(
-            gen_feat_cache[name][:512], train_feats[:2048], test_feats[:2048], repeats=3
+            gen_feat_cache[name][:512], train_feats[:2048], test_feats[:2048],
+            n_repeats=3, subsample=384,
         )
-        rows[name]["fld"] = [round(m, 3), round(s, 3)]
+        if np.isfinite(m):
+            rows[name]["fld"] = [round(m, 3), round(s, 3)]
+        else:
+            rows[name]["fld_note"] = (
+                "omitted: MoG fit degenerate on the random-feature stand-in"
+            )
 
     # BPD of each trained model on held-out data (eval_utils.py:14-45 analog)
     ds_test = ImageDataset("CIFAR10", "test", seed=0)

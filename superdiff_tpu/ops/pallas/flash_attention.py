@@ -14,9 +14,21 @@ the reference must *disable* flash to jvp through it; here the custom_jvp
 rule routes forward-mode through the einsum path so the ODE Itô estimator
 differentiates cleanly while sampling still gets the fused kernel).
 
-Layout is (batch, seq, heads, head_dim) — the UNet's native layout — so no
-transposes are needed; the grid is (B, H, q_blocks, kv_blocks) and each
-kernel instance reads strided (1, block, 1, D) tiles.
+The public API takes (batch, seq, heads, head_dim) — the UNet's native
+layout. Three kernel variants, chosen by kv length:
+
+* kv <= 256 (text cross-attention kv=77, 16x16/8x8 self levels):
+  ``_kernel_mh_nat`` — all heads per program via static lane slices of the
+  packed (B, L, H*D) views; zero transposes, softmax entirely in VMEM.
+* 256 < kv <= block_k (one kv block, e.g. L=4096 self): ``_kernel_1block``
+  on (B, H, L, D) — per-head grid, single-pass softmax, no online carry.
+  The transpose is forced by Mosaic's lane-block rule (128-multiple or the
+  full dim): per-head lane slicing at head_dim 40 is not lowerable.
+* multi-block kv: ``_kernel`` — the classic online-softmax flash loop with
+  fp32 (m, l, acc) scratch.
+
+All variants scale q by sm_scale*log2(e) on the in-VMEM tile (wrapper-side
+scaling materialized an fp32 HBM copy of q) and softmax in base 2.
 """
 
 from __future__ import annotations

@@ -228,7 +228,11 @@ def train(
                        steps_per_sec=cfg.log_every / max(time.time() - t_start, 1e-9))
             t_start = time.time()
         if step % cfg.save_every == 0:
-            ckpt_lib.save(mgr, step // cfg.save_every, jax.device_get(state))
+            # id = the actual step: interval-relative ids (step//save_every)
+            # collide across runs with different save_every, and orbax will
+            # not overwrite an existing id — the later save silently loses
+            # and a resume restores the older state.
+            ckpt_lib.save(mgr, step, jax.device_get(state))
         if eval_artifacts and step % cfg.eval_every == 0:
             labels = (
                 jnp.tile(jnp.arange(10), cfg.eval_batch_size // 10 + 1)[: cfg.eval_batch_size]
