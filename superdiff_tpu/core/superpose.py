@@ -5,14 +5,17 @@ This is the TPU-first rebuild of the reference's Euler loops
 and joint vector fields (``cifar/dynamics.py:59-137``). Design decisions:
 
 * The whole reverse trajectory is a single ``jax.lax.scan`` over a static
-  step count — XLA compiles one program, pipelines HBM traffic across steps,
-  and the sampler state (x, running logq, rng) stays device-resident.
-  Measured scope of this win (scripts/bench_vs_reference_style.py, v5e):
-  it is the *dispatch-bound* regime — small batches where per-step host
-  dispatch is a visible fraction of the ~tens-of-ms step. At batch 512 the
-  two UNet forwards dominate and scan vs per-step dispatch is a wash; the
-  scan's remaining value there is operational (one compile, deterministic
-  trace, preemption-safe carry), not throughput.
+  step count — XLA compiles one program and the sampler state (x, running
+  logq, rng) stays device-resident. Measured honestly
+  (scripts/bench_vs_reference_style.py, v5e, batch 64 and 512): this is
+  NOT a throughput win over a jitted-per-step host loop — 1.00-1.01x in
+  both regimes, because JAX's asynchronous dispatch already overlaps the
+  host loop with device execution, so per-step dispatch cost never reaches
+  the critical path at this model size. The scan's value is operational:
+  one compiled artifact, per-step traces as scan outputs (no host
+  round-trips to collect them), device-resident PRNG (bitwise
+  reproducibility independent of host timing), and a single carry that
+  checkpoints/restarts cleanly.
 * The N denoisers are invoked through a single ``score_fn(t, x) -> (N, B,
   *event)`` oracle. For same-architecture ensembles the caller vmaps one
   network over stacked parameters, so the N forwards become one batched
