@@ -68,9 +68,9 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm1")(x)
         x = x + CLIPAttention(self.cfg, self.dtype, name="self_attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm2")(x)
         h = nn.Dense(self.cfg.hidden_size * 4, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -97,7 +97,7 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
         for i in range(c.num_layers):
             x = CLIPLayer(c, self.dtype, name=f"layer_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x)
         return x.astype(jnp.float32)
 
 

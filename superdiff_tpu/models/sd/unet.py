@@ -145,13 +145,13 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.context_dim, dtype=self.dtype, name="attn2"
         )(h, context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         h = GEGLU(self.dim * 4, dtype=self.dtype, name="ff_geglu")(h)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
         return x
@@ -170,7 +170,8 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: Array, context: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        z = GroupNorm32(name="norm")(x)
+        # diffusers Transformer2DModel input GroupNorm uses eps 1e-6
+        z = GroupNorm32(eps=1e-6, name="norm")(x)
         z = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(z)
         z = z.reshape(b, h * w, self.channels)
         for i in range(self.depth):

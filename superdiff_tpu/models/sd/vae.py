@@ -39,9 +39,9 @@ class VAEResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.swish(GroupNorm32(name="norm1")(x))
+        h = nn.swish(GroupNorm32(eps=1e-6, name="norm1")(x))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = nn.swish(GroupNorm32(name="norm2")(h))
+        h = nn.swish(GroupNorm32(eps=1e-6, name="norm2")(h))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="shortcut")(x)
@@ -54,7 +54,7 @@ class VAEAttn(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        z = GroupNorm32(name="norm")(x).reshape(b, h * w, c)
+        z = GroupNorm32(eps=1e-6, name="norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="q")(z)
         k = nn.Dense(c, dtype=self.dtype, name="k")(z)
         v = nn.Dense(c, dtype=self.dtype, name="v")(z)
@@ -88,7 +88,7 @@ class VAEDecoder(nn.Module):
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(h.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"up_{i}_conv")(h)
-        h = nn.swish(GroupNorm32(name="norm_out")(h))
+        h = nn.swish(GroupNorm32(eps=1e-6, name="norm_out")(h))
         h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)
 
@@ -119,7 +119,7 @@ class VAEEncoder(nn.Module):
         h = VAEResnet(chs[-1], self.dtype, name="mid_res_0")(h)
         h = VAEAttn(self.dtype, name="mid_attn")(h)
         h = VAEResnet(chs[-1], self.dtype, name="mid_res_1")(h)
-        h = nn.swish(GroupNorm32(name="norm_out")(h))
+        h = nn.swish(GroupNorm32(eps=1e-6, name="norm_out")(h))
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding="SAME",
                     dtype=self.dtype, name="conv_out")(h)
         h = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")(h)
