@@ -103,6 +103,7 @@ def _load_reference_torch():
     return score_network
 
 
+@pytest.mark.torch_parity
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
 def test_numerical_parity_vs_reference_torch(tmp_path):
     import ml_collections
@@ -124,6 +125,9 @@ def test_numerical_parity_vs_reference_torch(tmp_path):
             return torch.zeros(1)
 
     torch.manual_seed(0)
+    # the openfold-style inits (se3diff ipa_pytorch.py trunc_normal) draw
+    # from numpy's global RNG — seed it or the model differs run-to-run
+    np.random.seed(0)
     tnet = score_network.ScoreNetwork(model_conf, _NoScoreDiffuser()).eval()
     # the reference zero-inits every update/output head ("final" init), which
     # would make rigids/psi comparisons trivially pass (identity function) —

@@ -76,6 +76,7 @@ def test_proteus_mapping_covers_reference_schema():
         assert dst.shape == want, (tk, fp, dst.shape, want)
 
 
+@pytest.mark.torch_parity
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
 def test_proteus_numerical_parity_vs_reference_torch(tmp_path):
     import sys
@@ -125,6 +126,13 @@ def test_proteus_numerical_parity_vs_reference_torch(tmp_path):
     model_conf = ml_collections.ConfigDict(mc)
 
     torch.manual_seed(0)
+    # The openfold-style Linear inits (ipa_pytorch.py trunc_normal via
+    # scipy.stats.truncnorm.rvs) draw from NUMPY's global RNG, not torch's:
+    # without this seed every run constructs a different random model, which
+    # made this test's tolerance margin vary run-to-run (root cause of the
+    # round-2 "order-dependent" flake — the framediff parity test consumed
+    # numpy RNG first and shifted this model's draw).
+    np.random.seed(0)
     tnet = score_network.ScoreNetwork(model_conf).eval()
     # zero-init heads would make the rigids comparison trivial (see the
     # framediff parity test) — perturb everything
@@ -181,10 +189,21 @@ def test_proteus_numerical_parity_vs_reference_torch(tmp_path):
     # NOTE the reference ScoreNetwork output carries no node_embed/edge_embed
     # (score_network.py:668-700), so the self_condition_s/z layers never fire
     # in the composition loop — the carry matches that exactly.
-    # feed BIT-IDENTICAL self-conditioning to both sides: the template
-    # distogram thresholds squared distances, so within-tolerance step-1
-    # output differences can flip bins and amplify
-    sc_pos = out_t["final_atom_positions"].numpy()
+    # Feed BIT-IDENTICAL *well-conditioned* self-conditioning to both sides.
+    # Using the model's own step-1 atoms here is numerically ill-posed: the
+    # idealized reconstruction emits near-collinear atom triples, and
+    # atom37_to_torsion_angles is catastrophically fp32-sensitive there
+    # (openfold's own docstring warns it "should be run with double
+    # precision"; measured: torch fp32 vs fp64 differs by up to 1.5 on such
+    # geometry, while on generic positions our JAX port matches torch fp32 to
+    # 5e-7). Random positions exercise the identical code path — template
+    # feature builders, pair stack, cross attention — without the
+    # conditioning cliff.
+    sc_pos = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), feats["aatype"].shape + (37, 3))
+        * 8.0,
+        np.float32,
+    )
     sc_j = {
         "final_atom_positions": jnp.asarray(sc_pos),
         "final_atom_mask": jnp.asarray(tfeats["atom37_atom_exists"].numpy()),
@@ -197,5 +216,60 @@ def test_proteus_numerical_parity_vs_reference_torch(tmp_path):
     out2_j = net.apply({"params": params}, feats, self_condition=sc_j)
     with torch.no_grad():
         out2_t = tnet(tfeats, self_condition=sc_t, struct2seq=False)
-    cmp("sc pred_trans", out2_j["pred_trans"], out2_t["pred_trans"], tol=5e-3)
-    cmp("sc pred_rotmats", out2_j["pred_rotmats"], out2_t["pred_rotmats"], tol=5e-3)
+    cmp("sc pred_trans", out2_j["pred_trans"], out2_t["pred_trans"], tol=2e-3)
+    cmp("sc pred_rotmats", out2_j["pred_rotmats"], out2_t["pred_rotmats"], tol=2e-3)
+
+
+@pytest.mark.torch_parity
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
+def test_torsion_angles_parity_vs_reference_torch():
+    """Our atom37_to_torsion_angles matches the reference's
+    prot_to_torsion_angles (proteus_data/all_atom.py:105 ->
+    proteus_openfold/data/data_transforms.py:925) bit-closely on
+    well-conditioned geometry. (On degenerate/idealized geometry the
+    computation is fp32-chaotic in BOTH implementations — see the note in
+    the numerical parity test.)"""
+    import sys
+    import types
+
+    import torch
+
+    class _Stub(types.ModuleType):
+        __path__ = []
+
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            full = self.__name__ + "." + name
+            sub = _Stub(full)
+            sys.modules.setdefault(full, sub)
+            return sub
+
+    for m in ("omegaconf", "Bio", "Bio.PDB", "Bio.PDB.Chain", "mdtraj",
+              "GPUtil", "hydra", "wandb", "esm", "pytorch3d",
+              "pytorch3d.transforms", "dgl", "pyrosetta", "tmtools",
+              "torch_scatter", "torch_cluster", "torch_geometric",
+              "deepspeed", "deepspeed.utils", "flash_attn", "einops_exts"):
+        sys.modules.setdefault(m, _Stub(m))
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from proteus_data import all_atom as t_all_atom  # noqa: E402
+
+    from superdiff_tpu.models.protein import all_atom37 as aa
+
+    rng = np.random.RandomState(7)
+    pos = (rng.randn(2, 24, 37, 3) * 8).astype(np.float32)
+    # mix of residue types so chi masks and pi-periodic mirrors fire
+    aat = rng.randint(0, 20, (2, 24)).astype(np.int64)
+    mask = np.asarray(aa.make_atom14_masks(jnp.asarray(aat))["atom37_atom_exists"])
+
+    t_tors, t_mask = t_all_atom.prot_to_torsion_angles(
+        torch.tensor(aat), torch.tensor(pos), torch.tensor(mask)
+    )
+    j_tors, _, j_mask = aa.atom37_to_torsion_angles(
+        jnp.asarray(aat), jnp.asarray(pos), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_tors), t_tors.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(j_mask), t_mask.numpy())
