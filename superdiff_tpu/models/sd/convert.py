@@ -153,24 +153,83 @@ def unet_mapping(n_down: int = 4, layers_per_block: int = 2):
     return m
 
 
-def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping):
+def _has(params, path: str) -> bool:
+    node = params
+    for k in path.split("/"):
+        if not hasattr(node, "__contains__") or k not in node:
+            return False
+        node = node[k]
+    return True
+
+
+def _is_optional(src: str) -> bool:
+    """Diffusers checkpoints carry resnet ``conv_shortcut`` tensors only on
+    width-changing resnets; every other mapped tensor is required."""
+    return ".conv_shortcut." in src
+
+
+def apply_mapping(params, tensors: Dict[str, np.ndarray], mapping,
+                  unused_prefixes=(), unused_suffixes=()):
     """Write mapped tensors into params and return (params, n_applied).
+
+    Strict contract (mirrors ``models/protein/convert.py:214-245``):
+
+    * raises ``KeyError`` when a required mapped tensor is absent from the
+      checkpoint — a handful of renamed keys must fail loudly, not convert
+      "successfully" and sample garbage;
+    * optional entries (resnet ``conv_shortcut``) must be present in the
+      checkpoint exactly when the Flax tree has the module — one-sided
+      presence raises;
+    * warns on leftover checkpoint tensors not covered by the mapping or the
+      ``unused_*`` filters (e.g. VAE encoder tensors on the decode-only path).
 
     Params may be a plain dict (mutated in place) or a FrozenDict (unfrozen
     into a copy); the *returned* tree is always the updated one — callers
     must use it rather than the input (FrozenDict inputs would otherwise
-    silently discard every converted weight). Missing optional tensors
-    (e.g. conv_shortcut on same-width resnets) are skipped."""
+    silently discard every converted weight)."""
+    import warnings
+
     import flax
 
     mutable = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
     applied = 0
+    missing = []
     for dst, src, tf in mapping:
-        if src not in tensors:
+        have_ckpt = src in tensors
+        if _is_optional(src):
+            have_flax = _has(mutable, dst)
+            if have_ckpt != have_flax:
+                raise KeyError(
+                    f"optional tensor mismatch for {src!r}: present in "
+                    f"checkpoint={have_ckpt}, module exists in params="
+                    f"{have_flax} — the model config does not match the "
+                    "checkpoint topology"
+                )
+            if not have_ckpt:
+                continue
+        elif not have_ckpt:
+            missing.append(src)
             continue
         val = tensors[src]
         _set(mutable, dst, tf(val) if tf else val)
         applied += 1
+    if missing:
+        raise KeyError(
+            f"checkpoint is missing {len(missing)} required tensors, e.g. "
+            f"{missing[:5]}"
+        )
+    covered = {src for _, src, _ in mapping}
+    leftover = sorted(
+        k for k in tensors
+        if k not in covered
+        and not (unused_prefixes and k.startswith(tuple(unused_prefixes)))
+        and not (unused_suffixes and k.endswith(tuple(unused_suffixes)))
+    )
+    if leftover:
+        warnings.warn(
+            f"{len(leftover)} unconverted checkpoint tensors: {leftover[:8]}",
+            stacklevel=2,
+        )
     return mutable, applied
 
 
@@ -258,24 +317,52 @@ def vae_decoder_mapping(n_levels: int = 4, layers_per_block: int = 2):
     return m
 
 
-def load_sd_weights(weights_dir: str, unet_params, text_params, vae_params):
-    """Load an HF snapshot directory; returns possibly-updated param trees."""
+def _required_count(mapping) -> int:
+    return sum(1 for _, src, _ in mapping if not _is_optional(src))
+
+
+def load_sd_weights(weights_dir: str, unet_params, text_params, vae_params,
+                    *, clip_num_layers: int = 12, unet_n_down: int = 4,
+                    unet_layers_per_block: int = 2, vae_n_levels: int = 4,
+                    vae_layers_per_block: int = 2):
+    """Load an HF snapshot directory; returns possibly-updated param trees.
+
+    Each sub-conversion is strict (see :func:`apply_mapping`): any missing
+    required tensor raises, so a successful return means every mapped tensor
+    landed. The exact-count asserts are derived from the mappings themselves.
+    """
     unet_t = _load_safetensors(
         os.path.join(weights_dir, "unet", "diffusion_pytorch_model.safetensors")
     )
     if unet_t:
-        unet_params, n = apply_mapping(unet_params, unet_t, unet_mapping())
-        assert n > 400, f"unet conversion too sparse: {n} tensors"
+        mapping = unet_mapping(n_down=unet_n_down,
+                               layers_per_block=unet_layers_per_block)
+        unet_params, n = apply_mapping(unet_params, unet_t, mapping)
+        assert n >= _required_count(mapping), (n, _required_count(mapping))
     text_t = _load_safetensors(
         os.path.join(weights_dir, "text_encoder", "model.safetensors")
     )
     if text_t:
-        text_params, n = apply_mapping(text_params, text_t, clip_text_mapping())
-        assert n > 100, f"clip conversion too sparse: {n} tensors"
+        mapping = clip_text_mapping(num_layers=clip_num_layers)
+        text_params, n = apply_mapping(
+            text_params, text_t, mapping,
+            # transformers' registered buffer; also the projection head of
+            # CLIPModel-format dumps — neither feeds the text tower forward
+            unused_suffixes=(".position_ids",),
+            unused_prefixes=("text_projection",),
+        )
+        assert n == _required_count(mapping), (n, _required_count(mapping))
     vae_t = _load_safetensors(
         os.path.join(weights_dir, "vae", "diffusion_pytorch_model.safetensors")
     )
     if vae_t:
-        vae_params, n = apply_mapping(vae_params, vae_t, vae_decoder_mapping())
-        assert n > 60, f"vae conversion too sparse: {n} tensors"
+        mapping = vae_decoder_mapping(n_levels=vae_n_levels,
+                                      layers_per_block=vae_layers_per_block)
+        vae_params, n = apply_mapping(
+            vae_params, vae_t, mapping,
+            # decode-only path: the encoder tower and quant_conv are unused
+            # (reference uses vae.decode only, clip_eval.py:46-60)
+            unused_prefixes=("encoder.", "quant_conv."),
+        )
+        assert n >= _required_count(mapping), (n, _required_count(mapping))
     return unet_params, text_params, vae_params

@@ -113,7 +113,12 @@ def build_sd_modules(
         from ..models.sd import convert
 
         unet_params, text_params, vae_params = convert.load_sd_weights(
-            weights_dir, unet_params, text_params, vae_params
+            weights_dir, unet_params, text_params, vae_params,
+            clip_num_layers=tcfg.num_layers,
+            unet_n_down=len(ucfg.block_out_channels),
+            unet_layers_per_block=ucfg.layers_per_block,
+            vae_n_levels=len(vcfg.channel_mults),
+            vae_layers_per_block=vcfg.layers_per_block,
         )
     return SDModules(
         unet=unet, unet_params=unet_params,

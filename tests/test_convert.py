@@ -93,3 +93,116 @@ def test_vae_mapping_paths_align():
         ),
     )
     assert n > 30
+
+
+def _tiny_unet_params_and_tensors():
+    cfg = SDUNetConfig.tiny()
+    unet = SDUNet(cfg)
+    params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 4)), jnp.zeros(()),
+        jnp.zeros((1, 77, cfg.cross_attention_dim)),
+    )["params"]
+    params = flax.core.unfreeze(jax.tree.map(np.asarray, params))
+    mapping = convert.unet_mapping()
+    return params, _fake_hf_tensors(params, mapping), mapping
+
+
+def test_converter_rejects_renamed_key():
+    """VERDICT r2 item 2: a checkpoint with one renamed key must fail loudly
+    (the round-2 converter silently skipped it and would sample garbage)."""
+    import pytest
+
+    params, tensors, mapping = _tiny_unet_params_and_tensors()
+    # rename one required tensor the way a diffusers version bump might
+    val = tensors.pop("mid_block.resnets.0.conv1.weight")
+    tensors["mid_block.resnets.0.conv_1.weight"] = val
+    with pytest.raises(KeyError, match="missing 1 required"):
+        convert.apply_mapping(params, tensors, mapping)
+
+
+def test_converter_rejects_optional_mismatch():
+    """conv_shortcut present in the checkpoint but absent in the flax tree
+    (topology mismatch) must raise, not silently skip."""
+    import pytest
+
+    params, tensors, mapping = _tiny_unet_params_and_tensors()
+    # down_3 resnet 1 keeps width in SD1.x -> no conv_shortcut either side;
+    # fabricate one on the checkpoint side only
+    assert "down_blocks.3.resnets.1.conv_shortcut.weight" not in tensors
+    tensors["down_blocks.3.resnets.1.conv_shortcut.weight"] = np.zeros(
+        (64, 64, 1, 1), np.float32
+    )
+    with pytest.raises(KeyError, match="optional tensor mismatch"):
+        convert.apply_mapping(params, tensors, mapping)
+
+
+def test_converter_warns_on_leftovers():
+    params, tensors, mapping = _tiny_unet_params_and_tensors()
+    tensors["some.unknown.buffer"] = np.zeros((3,), np.float32)
+    with np.testing.assert_warns(UserWarning):
+        convert.apply_mapping(params, tensors, mapping)
+
+
+def test_load_sd_weights_end_to_end(tmp_path):
+    """VERDICT r2 item 6: synthesize a real HF snapshot directory (tiny
+    random safetensors in the diffusers layout, clip_eval.py:29-43) and run
+    it through build_sd_modules -> a 2-step OR sample. Proves the
+    'weights land -> everything works' path at the format level."""
+    from safetensors.numpy import save_file
+
+    from superdiff_tpu.models.sd.clip import CLIPTextConfig
+    from superdiff_tpu.pipelines import sd as sdp
+
+    ucfg = SDUNetConfig.tiny()
+    tcfg = CLIPTextConfig.tiny()
+    vcfg = VAEConfig.tiny()
+
+    # synthesize HF tensors for each module from freshly-initialized trees
+    unet = SDUNet(ucfg)
+    uparams = flax.core.unfreeze(jax.tree.map(np.asarray, jax.jit(unet.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 4)), jnp.zeros(()),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)))["params"]))
+    text = CLIPTextEncoder(tcfg)
+    tparams = flax.core.unfreeze(jax.tree.map(np.asarray, jax.jit(text.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, tcfg.max_length), jnp.int32)
+    )["params"]))
+    vae = VAEDecoder(vcfg)
+    vparams = flax.core.unfreeze(jax.tree.map(np.asarray, jax.jit(vae.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, vcfg.latent_channels))
+    )["params"]))
+
+    (tmp_path / "unet").mkdir()
+    (tmp_path / "text_encoder").mkdir()
+    (tmp_path / "vae").mkdir()
+    save_file(_fake_hf_tensors(uparams, convert.unet_mapping()),
+              str(tmp_path / "unet" / "diffusion_pytorch_model.safetensors"))
+    clip_t = _fake_hf_tensors(
+        tparams, convert.clip_text_mapping(num_layers=tcfg.num_layers))
+    # transformers dumps carry this buffer; the loader must tolerate it
+    clip_t["text_model.embeddings.position_ids"] = np.arange(
+        tcfg.max_length, dtype=np.float32)[None]
+    save_file(clip_t, str(tmp_path / "text_encoder" / "model.safetensors"))
+    vae_t = _fake_hf_tensors(
+        vparams, convert.vae_decoder_mapping(
+            n_levels=len(vcfg.channel_mults),
+            layers_per_block=vcfg.layers_per_block))
+    vae_t["encoder.conv_in.weight"] = np.zeros((4, 3, 3, 3), np.float32)
+    save_file(vae_t, str(tmp_path / "vae" / "diffusion_pytorch_model.safetensors"))
+
+    mod = sdp.build_sd_modules(
+        jax.random.PRNGKey(0), unet_config=ucfg, text_config=tcfg,
+        vae_config=vcfg, weights_dir=str(tmp_path), height=128, width=128,
+        dtype=jnp.float32,
+    )
+    # converted weights actually landed (tree differs from random init)
+    ref = jax.jit(unet.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)), jnp.zeros(()),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)))["params"]
+    a = np.asarray(mod.unet_params["conv_in"]["kernel"])
+    b = np.asarray(ref["conv_in"]["kernel"])
+    assert not np.allclose(a, b)
+
+    cfg = sdp.SDPipelineConfig(num_inference_steps=2, height=128, width=128)
+    out = sdp.generate(mod, "or", "a cat", "a dog", batch_size=1, cfg=cfg)
+    assert np.isfinite(np.asarray(out["images"])).all()
