@@ -78,7 +78,13 @@ class GroupNorm32(nn.Module):
         bsz = x.shape[0]
         xg = x.astype(jnp.float32).reshape(bsz, -1, groups, c // groups)
         mean = jnp.mean(xg, axis=(1, 3))  # (B, G) fp32
-        var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+        # Fast variance E[x^2]-E[x]^2 can go negative via catastrophic
+        # cancellation (large mean, tiny spread) — clamp like flax's
+        # _compute_stats does, else rsqrt returns NaN (jit fusion changes
+        # the rounding, so the blowup is compile-dependent).
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean), 0.0
+        )
         rstd = jax.lax.rsqrt(var + self.eps)
         per_ch = c // groups
         mean_c = jnp.repeat(mean, per_ch, axis=-1)  # (B, C)

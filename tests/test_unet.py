@@ -81,3 +81,18 @@ def test_groupnorm32_matches_flax_groupnorm():
         y1 = gn.apply({"params": p}, x).astype(jnp.float32)
         y2 = ref.apply({"params": pr}, x.astype(jnp.float32))
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=tol, atol=tol)
+
+
+def test_groupnorm32_finite_on_large_mean_tiny_spread():
+    """Fast-variance cancellation regression: a group with huge mean and
+    near-zero spread makes E[x^2]-E[x]^2 negative in fp32; without the
+    flax-style clamp, rsqrt returns NaN (surfaced as a jit-only NaN in the
+    SD sd_* samplers at certain step counts)."""
+    from superdiff_tpu.models.unet import GroupNorm32
+
+    x = 300.0 + 1e-3 * jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 64))
+    gn = GroupNorm32()
+    p = gn.init(jax.random.PRNGKey(0), x)["params"]
+    for f in (gn.apply, jax.jit(gn.apply)):
+        y = f({"params": p}, x)
+        assert bool(jnp.isfinite(y).all())
