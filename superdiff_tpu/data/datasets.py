@@ -9,9 +9,17 @@ the two composed models are trained on:
   ``train<5`` / ``train>5``          — class-filtered splits (< is labels 0..4,
                                        > is labels 5..9; ``datasets.py:150-173``)
 
+Datasets match the reference's ``get_dataset`` surface
+(``cifar/datasets.py:98-137``): CIFAR10, MNIST, SVHN, CELEBA. Per-dataset
+preprocessing mirrors the reference resize ops — plain resize to
+``image_size`` for cifar10/mnist/svhn, ``central_crop(140)`` + shrink for
+celeba (``datasets.py:126-135``) — in a numpy bilinear resample (semantics
+parity; the reference's tf bicubic antialias differs at the pixel level).
+
 Sources, in order of preference:
-  1. local CIFAR-10 python batches (``cifar-10-batches-py``) under
-     ``SUPERDIFF_DATA_DIR`` (no network in this environment),
+  1. local raw files under ``SUPERDIFF_DATA_DIR`` (no network in this
+     environment): CIFAR-10 python batches (``cifar-10-batches-py``),
+     MNIST IDX files (``mnist/``), SVHN cropped ``.mat`` files (``svhn/``),
   2. a deterministic synthetic stand-in with the same shapes/labels so every
      pipeline stage can run end-to-end without the real data.
 
@@ -92,17 +100,105 @@ def _load_cifar10_local(data_dir: str) -> Optional[Tuple[np.ndarray, ...]]:
     return train_x, train_y, test_x, test_y
 
 
-def _synthetic_cifar(n_train=50_000, n_test=10_000, seed=0):
-    """Deterministic class-structured stand-in (shapes/labels of CIFAR-10)."""
+def _read_idx(path: str) -> np.ndarray:
+    """Parse one MNIST IDX file (optionally .gz): big-endian header of
+    ``0x0000 dtype ndim`` then ``ndim`` uint32 dims, then raw uint8 data."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    assert data[0] == 0 and data[1] == 0 and data[2] == 0x08, "not a u8 IDX file"
+    ndim = data[3]
+    dims = [int.from_bytes(data[4 + 4 * i : 8 + 4 * i], "big") for i in range(ndim)]
+    return np.frombuffer(data, np.uint8, offset=4 + 4 * ndim).reshape(dims)
+
+
+def _load_mnist_local(data_dir: str) -> Optional[Tuple[np.ndarray, ...]]:
+    root = os.path.join(data_dir, "mnist")
+    if not os.path.isdir(root):
+        return None
+
+    def find(stem):
+        for suffix in ("", ".gz"):
+            p = os.path.join(root, stem + suffix)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"{stem}[.gz] not under {root}")
+
+    train_x = _read_idx(find("train-images-idx3-ubyte"))[..., None]
+    train_y = _read_idx(find("train-labels-idx1-ubyte")).astype(np.int64)
+    test_x = _read_idx(find("t10k-images-idx3-ubyte"))[..., None]
+    test_y = _read_idx(find("t10k-labels-idx1-ubyte")).astype(np.int64)
+    return train_x, train_y, test_x, test_y
+
+
+def _load_svhn_local(data_dir: str) -> Optional[Tuple[np.ndarray, ...]]:
+    """SVHN 'cropped digits' .mat files (X: (32,32,3,N) u8, y: 1..10 w/ 10=0)."""
+    root = os.path.join(data_dir, "svhn")
+    if not os.path.isdir(root):
+        return None
+    from scipy.io import loadmat
+
+    def load(name):
+        d = loadmat(os.path.join(root, name))
+        x = d["X"].transpose(3, 0, 1, 2)
+        y = d["y"].ravel().astype(np.int64) % 10
+        return x, y
+
+    train_x, train_y = load("train_32x32.mat")
+    test_x, test_y = load("test_32x32.mat")
+    return train_x, train_y, test_x, test_y
+
+
+def _synthetic_images(shape=(32, 32, 3), n_train=50_000, n_test=10_000, seed=0):
+    """Deterministic class-structured stand-in (shapes/labels per dataset)."""
     rng = np.random.default_rng(seed)
     def make(n):
         y = rng.integers(0, 10, size=n)
         base = (y[:, None, None, None] * 25).astype(np.uint8)
-        x = base + rng.integers(0, 64, size=(n, 32, 32, 3)).astype(np.uint8)
+        x = base + rng.integers(0, 64, size=(n,) + shape).astype(np.uint8)
         return x, y
     tr = make(n_train)
     te = make(n_test)
     return tr[0], tr[1], te[0], te[1]
+
+
+def _resize_bilinear(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Batched (N,H,W,C) float bilinear resample, half-pixel-centered."""
+    n, h, w, c = imgs.shape
+    if (h, w) == (out_h, out_w):
+        return imgs
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(imgs.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(imgs.dtype)[None, None, :, None]
+    top = imgs[:, y0][:, :, x0] * (1 - wx) + imgs[:, y0][:, :, x1] * wx
+    bot = imgs[:, y1][:, :, x0] * (1 - wx) + imgs[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _central_crop(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Reference ``central_crop`` (cifar/datasets.py:61-65), batched."""
+    top = (imgs.shape[1] - size) // 2
+    left = (imgs.shape[2] - size) // 2
+    return imgs[:, top : top + size, left : left + size]
+
+
+# name -> (local loader, synthetic shape, eval split base, default image_size,
+#          celeba-style crop size or None) — cifar/datasets.py:98-137
+_DATASETS = {
+    "cifar10": (_load_cifar10_local, (32, 32, 3), "test", 32, None),
+    "mnist": (_load_mnist_local, (28, 28, 1), "test", 28, None),
+    "svhn": (_load_svhn_local, (32, 32, 3), "test", 32, None),
+    # celeb_a raw images are 218x178; no dependency-free local format, so
+    # celeba is synthetic-only until an image-folder loader is needed
+    "celeba": (lambda _d: None, (218, 178, 3), "validation", 64, 140),
+}
 
 
 class ImageDataset:
@@ -114,17 +210,28 @@ class ImageDataset:
         split: str = "train",
         data_dir: Optional[str] = None,
         seed: int = 0,
+        image_size: Optional[int] = None,
     ):
+        key = name.lower()
+        if key not in _DATASETS:
+            raise NotImplementedError(
+                f"Dataset {name} not yet supported."  # cifar/datasets.py:136-137
+            )
+        loader, shape, _eval_base, default_size, crop = _DATASETS[key]
         data_dir = data_dir or os.environ.get("SUPERDIFF_DATA_DIR", "/root/data")
-        loaded = _load_cifar10_local(data_dir) if name.lower() == "cifar10" else None
+        loaded = loader(data_dir)
         self.synthetic = loaded is None
         if loaded is None:
-            loaded = _synthetic_cifar()
+            # celeba stand-in kept small: full-size synthetic would be GBs
+            n_tr, n_te = (50_000, 10_000) if key != "celeba" else (1_000, 500)
+            loaded = _synthetic_images(shape, n_train=n_tr, n_test=n_te)
         train_x, train_y, test_x, test_y = loaded
         spec = SplitSpec.parse(split)
         x, y = (train_x, train_y) if spec.base == "train" else (test_x, test_y)
         self.images, self.labels = spec.apply(x, y)
         self.seed = seed
+        self.crop = crop
+        self.image_size = image_size or default_size
 
     def __len__(self):
         return len(self.images)
@@ -141,11 +248,19 @@ class ImageDataset:
         """Yield {'image': (B,H,W,C) float32, 'label': (B,) int32} forever."""
         rng = np.random.default_rng(self.seed)
         n = len(self.images)
+        s = self.image_size
         while True:
             perm = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
                 idx = perm[i : i + batch_size]
                 img = self.images[idx].astype(np.float32)
+                if self.crop is not None:  # celeba: central_crop(140) first
+                    img = _central_crop(img, self.crop)
+                if img.shape[1] != s or img.shape[2] != s:
+                    # reference resizes the [0,1] float image then dequantizes
+                    # (u + img*255)/256 (cifar/datasets.py:141-148); for the
+                    # native-size case this reduces to (uint + u)/256 below
+                    img = _resize_bilinear(img, s, s)
                 if uniform_dequantization:
                     img = (img + rng.uniform(size=img.shape).astype(np.float32)) / 256.0
                 else:

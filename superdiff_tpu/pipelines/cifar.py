@@ -211,7 +211,8 @@ def train(
     loss_fn = make_dsm_loss(_apply_fn(model), schedule, t_0=cfg.t_0, t_1=cfg.t_1)
     mesh = make_mesh(model=1)
     step_fn = make_train_step(opt, loss_fn, mesh=mesh)
-    ds = ImageDataset(cfg.dataset, cfg.train_split, seed=cfg.seed)
+    ds = ImageDataset(cfg.dataset, cfg.train_split, seed=cfg.seed,
+                      image_size=cfg.image_size)
     it = PrefetchIterator(ds.batches(cfg.batch_size))
     logger = MetricLogger(os.path.join(workdir, "metrics.jsonl"))
 
@@ -350,7 +351,8 @@ def fid_stats(
     out_dir = os.path.join(workdir, fid_folder)
     os.makedirs(out_dir, exist_ok=True)
     for split in ("train", "test"):
-        ds = ImageDataset(cfg.dataset, split, seed=cfg.seed)
+        ds = ImageDataset(cfg.dataset, split, seed=cfg.seed,
+                          image_size=cfg.image_size)
         feats = []
         for batch in ds.batches(
             cfg.eval_batch_size, uniform_dequantization=False,

@@ -1,0 +1,173 @@
+"""Format-level loader tests: synthesize the exact on-disk formats
+(cifar-10-batches-py pickles, MNIST IDX, SVHN .mat) and run them through
+the real loaders, plus the reference's full get_dataset surface
+(MNIST/SVHN/CELEBA, cifar/datasets.py:98-137) over the split DSL."""
+
+import gzip
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from superdiff_tpu.data import datasets as D
+
+
+def _write_cifar10_batches(root, rng, n_per_batch=20):
+    """Exact cifar-10-batches-py layout: pickled dicts with b'data' as
+    (N, 3072) uint8 row-major R-plane,G-plane,B-plane and b'labels' lists."""
+    d = os.path.join(root, "cifar-10-batches-py")
+    os.makedirs(d)
+    all_x, all_y = [], []
+    for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        x = rng.integers(0, 256, size=(n_per_batch, 3, 32, 32), dtype=np.uint8)
+        y = rng.integers(0, 10, size=n_per_batch).tolist()
+        with open(os.path.join(d, name), "wb") as f:
+            pickle.dump(
+                {b"data": x.reshape(n_per_batch, 3072), b"labels": y,
+                 b"batch_label": b"synthetic", b"filenames": []},
+                f,
+            )
+        all_x.append(x.transpose(0, 2, 3, 1))
+        all_y.append(np.asarray(y))
+    return all_x, all_y
+
+
+def test_cifar10_local_binary_format(tmp_path):
+    """VERDICT r2 item 6: _load_cifar10_local against the real pickle
+    format — plane order, label alignment, train/test carving."""
+    rng = np.random.default_rng(0)
+    xs, ys = _write_cifar10_batches(tmp_path, rng)
+    ds = D.ImageDataset("cifar10", "train", data_dir=str(tmp_path))
+    assert not ds.synthetic
+    assert ds.images.shape == (100, 32, 32, 3) and ds.images.dtype == np.uint8
+    np.testing.assert_array_equal(ds.images, np.concatenate(xs[:5]))
+    np.testing.assert_array_equal(ds.labels, np.concatenate(ys[:5]))
+    te = D.ImageDataset("cifar10", "test", data_dir=str(tmp_path))
+    np.testing.assert_array_equal(te.images, xs[5])
+    # DSL applies on top of real binaries
+    lt = D.ImageDataset("cifar10", "train<5", data_dir=str(tmp_path))
+    assert np.all(lt.labels < 5)
+
+
+def test_cifar10_binary_through_training(tmp_path, monkeypatch):
+    """Real-format binaries feed the actual training loop for a few steps."""
+    from superdiff_tpu.pipelines import cifar as C
+
+    _write_cifar10_batches(tmp_path / "data", np.random.default_rng(1),
+                           n_per_batch=8)
+    monkeypatch.setenv("SUPERDIFF_DATA_DIR", str(tmp_path / "data"))
+    cfg = C.CifarConfig(
+        nf=8, ch_mult=(1,), num_res_blocks=1, attn_resolutions=(),
+        batch_size=8, log_every=2, save_every=100, n_iters=2,
+        eval_batch_size=8, compute_dtype="float32", image_size=16,
+    )
+    state = C.train(cfg, str(tmp_path / "wd"), eval_artifacts=False)
+    assert int(state.step) >= 2
+
+
+def _write_idx(path, arr, gz=False):
+    header = bytes([0, 0, 0x08, arr.ndim]) + b"".join(
+        int(d).to_bytes(4, "big") for d in arr.shape
+    )
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(header + arr.tobytes())
+
+
+def test_mnist_idx_format(tmp_path):
+    root = tmp_path / "mnist"
+    root.mkdir()
+    rng = np.random.default_rng(2)
+    tr_x = rng.integers(0, 256, size=(30, 28, 28), dtype=np.uint8)
+    tr_y = rng.integers(0, 10, size=30, dtype=np.uint8)
+    te_x = rng.integers(0, 256, size=(10, 28, 28), dtype=np.uint8)
+    te_y = rng.integers(0, 10, size=10, dtype=np.uint8)
+    # mixed plain/gz to cover both openers
+    _write_idx(str(root / "train-images-idx3-ubyte"), tr_x)
+    _write_idx(str(root / "train-labels-idx1-ubyte.gz"), tr_y, gz=True)
+    _write_idx(str(root / "t10k-images-idx3-ubyte.gz"), te_x, gz=True)
+    _write_idx(str(root / "t10k-labels-idx1-ubyte"), te_y)
+    ds = D.ImageDataset("mnist", "train", data_dir=str(tmp_path))
+    assert not ds.synthetic
+    assert ds.images.shape == (30, 28, 28, 1)
+    np.testing.assert_array_equal(ds.images[..., 0], tr_x)
+    np.testing.assert_array_equal(ds.labels, tr_y)
+    b = next(ds.batches(4, uniform_dequantization=False, random_flip=False))
+    assert b["image"].shape == (4, 28, 28, 1)
+
+
+def test_svhn_mat_format(tmp_path):
+    from scipy.io import savemat
+
+    root = tmp_path / "svhn"
+    root.mkdir()
+    rng = np.random.default_rng(3)
+    for name, n in (("train_32x32.mat", 25), ("test_32x32.mat", 10)):
+        x = rng.integers(0, 256, size=(32, 32, 3, n), dtype=np.uint8)
+        y = rng.integers(1, 11, size=(n, 1), dtype=np.uint8)  # SVHN: 10 == '0'
+        savemat(str(root / name), {"X": x, "y": y})
+        if name.startswith("train"):
+            want_x, want_y = x.transpose(3, 0, 1, 2), y.ravel() % 10
+    ds = D.ImageDataset("svhn", "train", data_dir=str(tmp_path))
+    assert not ds.synthetic
+    np.testing.assert_array_equal(ds.images, want_x)
+    np.testing.assert_array_equal(ds.labels, want_y)
+    assert ds.labels.max() <= 9
+
+
+def test_split_dsl_over_mnist():
+    """VERDICT r2 item 8: the split DSL works over a second dataset."""
+    full = D.ImageDataset("mnist", "train", data_dir="/nonexistent")
+    assert full.synthetic and full.images.shape[1:] == (28, 28, 1)
+    half_a = D.ImageDataset("mnist", "train[:50%]", data_dir="/nonexistent")
+    half_b = D.ImageDataset("mnist", "train[50%:]", data_dir="/nonexistent")
+    assert len(half_a) + len(half_b) == len(full)
+    lt5 = D.ImageDataset("mnist", "train<5", data_dir="/nonexistent")
+    ge5 = D.ImageDataset("mnist", "train>5", data_dir="/nonexistent")
+    assert np.all(lt5.labels < 5) and np.all(ge5.labels >= 5)
+    assert len(lt5) + len(ge5) == len(full)
+
+
+def test_celeba_crop_and_resize():
+    """celeba preprocessing: central_crop(140) then resize to image_size
+    (cifar/datasets.py:126-135)."""
+    ds = D.ImageDataset("celeba", "train", data_dir="/nonexistent",
+                        image_size=64)
+    assert ds.images.shape[1:] == (218, 178, 3)
+    b = next(ds.batches(2, uniform_dequantization=False, random_flip=False,
+                        scale_to_pm1=False))
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["image"].min() >= 0.0 and b["image"].max() <= 1.0
+
+
+def test_unknown_dataset_raises():
+    with pytest.raises(NotImplementedError):
+        D.ImageDataset("imagenet", "train")
+
+
+def test_resize_bilinear_identity_and_constant():
+    rng = np.random.default_rng(4)
+    img = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    assert D._resize_bilinear(img, 16, 16) is img
+    const = np.full((1, 9, 9, 1), 0.37, np.float32)
+    np.testing.assert_allclose(D._resize_bilinear(const, 5, 5), 0.37, rtol=1e-6)
+    # downscale of a linear ramp stays a linear ramp (bilinear exactness)
+    ramp = np.tile(np.linspace(0, 1, 16, dtype=np.float32)[None, :, None, None],
+                   (1, 1, 16, 1)).transpose(0, 2, 1, 3)
+    out = D._resize_bilinear(ramp, 16, 8)
+    assert np.all(np.diff(out[0, 0, :, 0]) > 0)
+
+
+def test_fid_stats_batch_uint8_roundtrip():
+    """VERDICT r2 weak 6: fid_stats (pipelines/cifar.py:357-361) relies on
+    batches(uniform_dequantization=False, scale_to_pm1=False) * 255 being an
+    exact uint8 roundtrip — pin that coupling."""
+    ds = D.ImageDataset("cifar10", "test", data_dir="/nonexistent")
+    b = next(ds.batches(16, uniform_dequantization=False, random_flip=False,
+                        scale_to_pm1=False, loop=False))
+    back = np.round(b["image"] * 255).astype(np.uint8)
+    # recover the originals by matching the first batch indices
+    rng = np.random.default_rng(ds.seed)
+    idx = rng.permutation(len(ds.images))[:16]
+    np.testing.assert_array_equal(back, ds.images[idx])
