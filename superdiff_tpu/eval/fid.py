@@ -130,8 +130,16 @@ def get_inception_logits_fn(weights_path: Optional[str] = None) -> Optional[Call
         except Exception:
             params = None
         if params is not None and "predictions" in params:
-            fn = inception.make_feature_fn(params, with_logits=True)
-            return lambda imgs, batch_size=256: fn(imgs)[1]
+            fns = {}  # one compiled fn per batch_size (avoid per-call retrace)
+
+            def jax_logits_fn(imgs, batch_size: int = 256, _params=params):
+                if batch_size not in fns:
+                    fns[batch_size] = inception.make_feature_fn(
+                        _params, batch_size=batch_size, with_logits=True
+                    )
+                return fns[batch_size](imgs)[1]
+
+            return jax_logits_fn
     try:
         import tensorflow as tf
 

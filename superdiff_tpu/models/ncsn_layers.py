@@ -24,9 +24,21 @@ Array = jnp.ndarray
 
 
 def ncsn_conv3x3(
-    x: Array, features: int, stride: int = 1, bias: bool = True, dilation: int = 1
+    x: Array, features: int, stride: int = 1, bias: bool = True,
+    dilation: int = 1, init_scale: float = 1.0,
 ) -> Array:
-    """3x3 conv with NCSN's default init (``layers.py:77-93`` semantics)."""
+    """3x3 conv with NCSN's torch-style init (``layers.py:77-93``):
+    variance_scaling(1/3·scale, fan_in, uniform) for the kernel, and the
+    bias drawn from the same distribution (the reference samples it as one
+    row of a kernel-shaped draw)."""
+    init_scale = 1e-10 if init_scale == 0 else init_scale
+    kernel_init = nn.initializers.variance_scaling(
+        init_scale / 3.0, "fan_in", "uniform"
+    )
+    kernel_shape = (3, 3, x.shape[-1], features)
+    bias_init = lambda key, shape, dtype=jnp.float32: kernel_init(
+        key, kernel_shape, dtype
+    )[0, 0, 0, :]
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -34,6 +46,8 @@ def ncsn_conv3x3(
         padding="SAME",
         use_bias=bias,
         kernel_dilation=(dilation, dilation),
+        kernel_init=kernel_init,
+        bias_init=bias_init,
     )(x)
 
 

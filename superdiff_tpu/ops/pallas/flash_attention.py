@@ -93,7 +93,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k, scale):
         o_ref[0, 0, :, :] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
 
 
-def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, bf16_probs, scale):
+def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Single-kv-block softmax: the whole row fits one tile (the measured-
     fastest configuration at L=4096), so the online (m, l, acc) carry and
     its rescaling rounds are dead weight — one max, one exp2, one sum."""
@@ -104,14 +104,10 @@ def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, bf16_probs, scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, lk) fp32, base-2 logits (scale folded into the q tile)
     m = jnp.max(s, axis=1, keepdims=True)
-    if bf16_probs:
-        # exp2 on the VPU in bf16 (packed, 2x lanes); row-sum recovered in
-        # fp32 from the same bf16 probs so o = pv/l stays consistent.
-        p = jnp.exp2((s - m).astype(jnp.bfloat16))
-        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    else:
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+    # probs stay fp32: bf16 probs (packed exp2, 2x VPU lanes) were measured
+    # and lost — the extra casts outweigh the exp2 saving at these tile sizes
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -119,7 +115,7 @@ def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, bf16_probs, scale):
     o_ref[0, 0, :, :] = (pv / l).astype(o_ref.dtype)
 
 
-def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, bf16_probs, scale):
+def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     """All-heads-per-program single-block softmax, for short kv rows (text
     cross-attention kv=77, self-attention at the 16x16/8x8 levels).
 
@@ -139,12 +135,8 @@ def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, bf16_probs, scale):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         m = jnp.max(s, axis=1, keepdims=True)
-        if bf16_probs:
-            p = jnp.exp2((s - m).astype(jnp.bfloat16))
-            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        else:
-            p = jnp.exp2(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -156,32 +148,7 @@ def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, bf16_probs, scale):
 
 
 
-def _kernel_nat(q_ref, k_ref, v_ref, o_ref, *, scale, bf16_probs):
-    """Native-layout single-kv-block kernel: blocks are lane-sliced head
-    columns of the packed (B, L, H*D) tensors — the UNet's own layout — so
-    no (B,L,H,D)->(B,H,L,D) transpose copies ever hit HBM (measured ~10 ms
-    of `data formatting` per forward at batch 24 before this)."""
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # (bq, D)
-    k = k_ref[0]  # (lk, D)
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m = jnp.max(s, axis=1, keepdims=True)
-    if bf16_probs:
-        p = jnp.exp2((s - m).astype(jnp.bfloat16))
-        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-    else:
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pv / l).astype(o_ref.dtype)
-
-
-def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, bf16_probs):
+def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale):
     """Native-layout all-heads kernel for short kv (cross-attention kv=77,
     16x16/8x8 self levels): one program per q block processes every head via
     static lane slices of the packed (bq, H*D) tile. Heads are unrolled in
@@ -197,12 +164,8 @@ def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, bf16_p
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         m = jnp.max(s, axis=1, keepdims=True)
-        if bf16_probs:
-            p = jnp.exp2((s - m).astype(jnp.bfloat16))
-            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-        else:
-            p = jnp.exp2(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -213,7 +176,7 @@ def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale, bf16_p
 _LOG2_E = 1.4426950408889634
 
 
-def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret, bf16_probs=False):
+def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
     """q, k, v: (B, H, L, D) — Pallas block alignment needs (L, D) as the
     trailing dims (the wrapper transposes from the UNet's (B, L, H, D))."""
     b, h, lq, d = q.shape
@@ -227,7 +190,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret, bf16_probs=False
     if n_k == 1 and lk <= 1024:
         # short kv: amortize per-program overhead over all heads
         return pl.pallas_call(
-            functools.partial(_kernel_mh, heads=h, bf16_probs=False, scale=scale),
+            functools.partial(_kernel_mh, heads=h, scale=scale),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             grid=(b, n_q),
             in_specs=[
@@ -243,7 +206,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret, bf16_probs=False
         )(q, k, v)
     if n_k == 1:
         return pl.pallas_call(
-            functools.partial(_kernel_1block, bf16_probs=bf16_probs, scale=scale),
+            functools.partial(_kernel_1block, scale=scale),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             grid=(b, h, n_q),
             in_specs=[
@@ -299,7 +262,6 @@ def _flash(q, k, v, sm_scale, block_q, block_k, interpret):
         out = pl.pallas_call(
             functools.partial(
                 _kernel_mh_nat, heads=h, head_dim=d, scale=scale,
-                bf16_probs=False,
             ),
             out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
             grid=(b, n_q),
@@ -341,9 +303,15 @@ def flash_mha(
 ) -> Array:
     """Multi-head attention ``softmax(q k^T * sm_scale) v``, (B, L, H, D).
 
-    Falls back to the einsum reference when the sequence doesn't tile
-    (kv shorter than one 128-lane block — e.g. 77-token text cross-attention)
-    or when running off-TPU without ``interpret``.
+    Three-kernel dispatch by kv length (see the module docstring):
+    kv <= 256 routes to the native-layout all-heads kernel on packed
+    (B, L, H*D) views (zero transposes); 256 < kv <= 1024 (one kv block)
+    to the single-pass per-head kernel; longer kv to the online-softmax
+    flash loop. kv <= 1024 always uses the full row as the kv block —
+    a caller-supplied ``block_k`` only takes effect on the multi-block
+    path. Falls back to the einsum reference when the sequence doesn't
+    tile (block_q < 8, or a non-full kv block < 128 lanes) or when
+    running off-TPU without ``interpret``.
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -360,9 +328,8 @@ def flash_mha(
         # the whole row is one block for the all-heads kernel. XLA's einsum
         # path materializes fp32 logits through HBM even at kv=77 (measured
         # 2.3 ms/layer at L=4096 — ~1 GB of score traffic); the kernel keeps
-        # them in VMEM.
+        # them in VMEM. This deliberately overrides any caller block_k.
         block_k = lk
-        block_q = min(block_q or 512, lq)
     else:
         block_k = block_k or min(4096, lk)
     # shrink to the largest divisor tile (sequence lengths here are powers
