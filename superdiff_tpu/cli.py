@@ -141,6 +141,7 @@ def cmd_protein(args):
         temp_trans=args.temp_trans, temp_rots=args.temp_rots,
         logp_trans=args.logp_trans, logp_rots=args.logp_rots,
         noise_scale=args.noise_scale, stochastic=args.stochastic,
+        esm_rate=args.esm_rate,
     )
     _snapshot(args, args.out_dir)
     n = args.length
@@ -153,7 +154,10 @@ def cmd_protein(args):
         "sc_ca_t": jax.numpy.zeros((1, n, 3)),
     }
     model_a, sc_adapter_a = _build_protein_model(
-        args.ckpt_a, IPAConfig.proteus_like, se3, feats0, jax.random.PRNGKey(1)
+        args.ckpt_a, IPAConfig.proteus_like, se3, feats0, jax.random.PRNGKey(1),
+        struct2seq_opts={"mpnn_ckpt": args.mpnn_ckpt,
+                         "esm_dir": args.esm_dir,
+                         "seq_nums": args.seq_nums},
     )
     model_b, sc_adapter_b = _build_protein_model(
         args.ckpt_b, IPAConfig.framediff_like, se3, feats0, jax.random.PRNGKey(2)
@@ -201,7 +205,8 @@ def _load_or_init(net, feats0, ckpt: str, key):
     return net.init(key, feats0)["params"]
 
 
-def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
+def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key,
+                         struct2seq_opts=None):
     """Build a protein score model for composition; returns
     (model_fn, sc_adapter or None).
 
@@ -211,6 +216,11 @@ def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
     ``embedding_layer.template_embedder.*`` keys, FrameDiff otherwise.
     Orbax directories load this framework's own nets; no checkpoint gives a
     random init of the fallback config.
+
+    ``struct2seq_opts`` ({mpnn_ckpt, esm_dir, seq_nums}) arms the MPNN+ESM
+    sequence conditioner when the Proteus checkpoint config enables
+    struct2seq (config.yaml:298-311); the composition's esm_rate
+    sub-schedule then gates it per step through ``feats['struct2seq']``.
     """
     import jax
     import jax.numpy as jnp
@@ -230,7 +240,23 @@ def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
             from .models.protein.proteus import ProteusConfig, ProteusScoreNetwork
 
             cfg = ProteusConfig.from_ckpt_conf(mc) if mc else ProteusConfig()
-            net = ProteusScoreNetwork(cfg)
+            s2s_fn = None
+            if cfg.struct2seq_enable:
+                from .models.protein import struct2seq as s2smod
+
+                opts = struct2seq_opts or {}
+                esm_sd = esm_cfg = None
+                if opts.get("esm_dir"):
+                    esm_sd, esm_cfg = pconvert.load_esm2_snapshot(
+                        opts["esm_dir"]
+                    )
+                mmodel, mparams = s2smod.load_mpnn_esm(
+                    sd, c_s=cfg.node_embed_size, c_z=cfg.edge_embed_size,
+                    mpnn_ckpt=opts.get("mpnn_ckpt"), esm_sd=esm_sd,
+                    esm_cfg=esm_cfg, seq_nums=opts.get("seq_nums", 4),
+                )
+                s2s_fn = s2smod.make_struct2seq_fn(mmodel, mparams)
+            net = ProteusScoreNetwork(cfg, struct2seq_fn=s2s_fn)
             b, n = feats0["res_mask"].shape
 
             def pfeats(feats):
@@ -251,7 +277,11 @@ def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
                     "torsion_angles_sin_cos": jnp.zeros((bb, nn_, 7, 2)),
                 }
 
-            params = jax.jit(net.init)(key, pfeats(feats0))["params"]
+            # init with the gate armed so the cross-embedder params exist
+            arm_s2s = s2s_fn is not None
+            params = jax.jit(
+                lambda k, f: net.init(k, f, struct2seq=arm_s2s)
+            )(key, pfeats(feats0))["params"]
             params, n_applied = pconvert.apply_proteus_state_dict(params, sd, cfg)
             print(f"loaded Proteus checkpoint {ckpt}: {n_applied} tensors")
 
@@ -259,6 +289,7 @@ def _build_protein_model(ckpt, fallback_cfg_fn, se3, feats0, key):
                 out = net.apply(
                     {"params": params}, pfeats(feats),
                     self_condition=feats.get("self_cond"),
+                    struct2seq=feats.get("struct2seq", False),
                 )
                 rigids_t = feats["rigids_t"]
                 # ScoreWrapper conversion (composition.py:45-94)
@@ -377,6 +408,17 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--batch", type=int, default=1, help="trajectories per seed-key, one compiled batched scan")
     pr.add_argument("--ckpt_a", default=None)
     pr.add_argument("--ckpt_b", default=None)
+    pr.add_argument("--esm_rate", type=float, default=0.0,
+                    help="fraction of steps with struct2seq/ESM conditioning "
+                    "on the proteus-role model (composition.py:184-187)")
+    pr.add_argument("--mpnn_ckpt", default=None,
+                    help="ProteinMPNN CA weights file (v_48_020.pt) for "
+                    "struct2seq")
+    pr.add_argument("--esm_dir", default=None,
+                    help="local transformers ESM2 snapshot dir for struct2seq")
+    pr.add_argument("--seq_nums", type=int, default=4,
+                    help="sequences sampled per struct2seq call "
+                    "(strcture2seq.py:29)")
     pr.add_argument("--overwrite", action="store_true")
     pr.add_argument("--out_dir", default="./runs/protein")
     pr.set_defaults(fn=cmd_protein)

@@ -327,6 +327,17 @@ def proteus_mapping(cfg):
                f"{ce_f}/template_pointwise_att/mha", gating=False)
     m += _attn(f"{ce_t}.template_columnwise_attention.mha",
                f"{ce_f}/template_columnwise_attention/mha", gating=True)
+    if getattr(cfg, "struct2seq_enable", False):
+        # struct2seq cross embedder (score_network.py:99, same
+        # TemplateCrossEmbedder class; the MPNN_ESM combiner heads under
+        # embedding_layer.struct2seq_embedder.* belong to the separate
+        # MPNNESM tree — see extract_struct2seq_heads)
+        se_t = f"{emb}.struct2seq_cross_embedder"
+        se_f = f"{emb}/struct2seq_cross_embedder"
+        m += _attn(f"{se_t}.template_pointwise_att.mha",
+                   f"{se_f}/template_pointwise_att/mha", gating=False)
+        m += _attn(f"{se_t}.template_columnwise_attention.mha",
+                   f"{se_f}/template_columnwise_attention/mha", gating=True)
 
     tr = "score_model.trunk"
     for b in range(cfg.num_blocks):
@@ -411,9 +422,202 @@ def apply_proteus_state_dict(params: dict, sd: Dict[str, np.ndarray], cfg):
             f"{missing[:5]}"
         )
     leftover = set(sd) - {tk for tk, _, _ in mapping} - set(proteus_unused_keys(cfg))
+    # MPNN_ESM combiner heads live in the separate MPNNESM tree
+    # (extract_struct2seq_heads / apply_mpnn_esm_heads), not this one
+    leftover = {k for k in leftover if not k.startswith(STRUCT2SEQ_PREFIX)}
     if leftover:
         warnings.warn(
             f"{len(leftover)} unconverted checkpoint tensors: "
             f"{sorted(leftover)[:8]}", stacklevel=2,
         )
     return params, applied
+
+
+# ---------------------------------------------------------------------------
+# struct2seq (MPNN_ESM) mappings — strcture2seq.py:10-133
+# ---------------------------------------------------------------------------
+
+
+def _apply_state_dict(params: dict, sd: Dict[str, np.ndarray], mapping,
+                      unused_keys, what: str) -> Tuple[dict, int]:
+    """Shared strict applier: raise on missing mapped tensors, warn on
+    leftovers not in the recorded vestigial set (same contract as
+    apply_framediff_state_dict)."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    applied, missing = 0, []
+    for tk, fp, tf in mapping:
+        if tk not in sd:
+            missing.append(tk)
+            continue
+        _set(params, fp, sd[tk].T if tf == _T else sd[tk])
+        applied += 1
+    if missing:
+        raise KeyError(
+            f"{what} checkpoint is missing {len(missing)} expected tensors, "
+            f"e.g. {missing[:5]}"
+        )
+    leftover = set(sd) - {tk for tk, _, _ in mapping} - set(unused_keys)
+    if leftover:
+        warnings.warn(
+            f"{what}: {len(leftover)} unconverted checkpoint tensors: "
+            f"{sorted(leftover)[:8]}", stacklevel=2,
+        )
+    return params, applied
+
+
+def mpnn_mapping(cfg):
+    """CA-only ProteinMPNN (protein_mpnn_utils.py:1080-1110) state_dict ->
+    Flax ProteinMPNNCA paths. cfg: struct2seq.MPNNConfig."""
+    m = []
+    m += _linear("features.embeddings.linear", "features/embeddings/linear")
+    m += [("features.edge_embedding.weight",
+           "features/edge_embedding/kernel", _T)]
+    m += _ln("features.norm_edges", "features/norm_edges")
+    m += _linear("W_e", "W_e")
+    m += [("W_s.weight", "W_s/embedding", _ID)]
+    for i in range(cfg.num_encoder_layers):
+        t, f = f"encoder_layers.{i}", f"encoder_layers_{i}"
+        for lin in ("W1", "W2", "W3", "W11", "W12", "W13"):
+            m += _linear(f"{t}.{lin}", f"{f}/{lin}")
+        for n_ in ("norm1", "norm2", "norm3"):
+            m += _ln(f"{t}.{n_}", f"{f}/{n_}")
+        m += _linear(f"{t}.dense.W_in", f"{f}/dense/W_in")
+        m += _linear(f"{t}.dense.W_out", f"{f}/dense/W_out")
+    for i in range(cfg.num_decoder_layers):
+        t, f = f"decoder_layers.{i}", f"decoder_layers_{i}"
+        for lin in ("W1", "W2", "W3"):
+            m += _linear(f"{t}.{lin}", f"{f}/{lin}")
+        for n_ in ("norm1", "norm2"):
+            m += _ln(f"{t}.{n_}", f"{f}/{n_}")
+        m += _linear(f"{t}.dense.W_in", f"{f}/dense/W_in")
+        m += _linear(f"{t}.dense.W_out", f"{f}/dense/W_out")
+    m += _linear("W_out", "W_out")
+    return m
+
+
+def mpnn_unused_keys(cfg):
+    """Declared-but-unused in the reference CA forward: W_v is never applied
+    (h_V starts from zeros, protein_mpnn_utils.py:1121-1123) and
+    CA_ProteinFeatures' node_embedding/norm_nodes are marked NOT USED
+    (protein_mpnn_utils.py:810-813)."""
+    return [
+        "W_v.weight", "W_v.bias",
+        "features.node_embedding.weight",
+        "features.norm_nodes.weight", "features.norm_nodes.bias",
+    ]
+
+
+def apply_mpnn_state_dict(params: dict, sd: Dict[str, np.ndarray], cfg):
+    return _apply_state_dict(params, sd, mpnn_mapping(cfg),
+                             mpnn_unused_keys(cfg), "ProteinMPNN")
+
+
+def load_mpnn_checkpoint(path: str):
+    """Load a ProteinMPNN CA weights file (e.g. v_48_020.pt).
+
+    The file is a torch pickle {'num_edges': k, 'model_state_dict': ...}
+    (strcture2seq.py:16-18 reads both). Returns (state_dict as numpy,
+    k_neighbors)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in ckpt["model_state_dict"].items()}
+    return sd, int(ckpt.get("num_edges", 48))
+
+
+def esm2_mapping(cfg):
+    """transformers ``EsmModel`` state_dict -> Flax ESM2 paths. The official
+    HF ESM2 checkpoints (facebook/esm2_t33_650M_UR50D = the reference's
+    esm_name, strcture2seq.py:11) use this schema. cfg: struct2seq.ESM2Config."""
+    m = [("embeddings.word_embeddings.weight", "embed_tokens/embedding", _ID)]
+    for i in range(cfg.num_layers):
+        t, f = f"encoder.layer.{i}", f"layer_{i}"
+        m += _linear(f"{t}.attention.self.query", f"{f}/q")
+        m += _linear(f"{t}.attention.self.key", f"{f}/k")
+        m += _linear(f"{t}.attention.self.value", f"{f}/v")
+        m += _linear(f"{t}.attention.output.dense", f"{f}/out")
+        m += _ln(f"{t}.attention.LayerNorm", f"{f}/attn_ln")
+        m += _linear(f"{t}.intermediate.dense", f"{f}/fc1")
+        m += _linear(f"{t}.output.dense", f"{f}/fc2")
+        m += _ln(f"{t}.LayerNorm", f"{f}/ffn_ln")
+    m += _ln("encoder.emb_layer_norm_after", "emb_layer_norm_after")
+    return m
+
+
+def esm2_unused_keys(cfg):
+    # contact head: attention-map regression unused by MPNN_ESM (it
+    # consumes the raw attentions, strcture2seq.py:74-82)
+    keys = ["embeddings.position_ids",
+            "contact_head.regression.weight", "contact_head.regression.bias"]
+    for i in range(cfg.num_layers):
+        keys.append(
+            f"encoder.layer.{i}.attention.self.rotary_embeddings.inv_freq"
+        )
+    return keys
+
+
+def apply_esm2_state_dict(params: dict, sd: Dict[str, np.ndarray], cfg):
+    return _apply_state_dict(params, sd, esm2_mapping(cfg),
+                             esm2_unused_keys(cfg), "ESM2")
+
+
+def load_esm2_snapshot(path: str):
+    """Load a local transformers ``EsmModel`` snapshot directory (e.g. a
+    facebook/esm2_t33_650M_UR50D download — the reference's esm_name,
+    strcture2seq.py:11) into (numpy state_dict, struct2seq.ESM2Config).
+
+    Weights are gated: local files only, no network egress attempted."""
+    from transformers.models.esm import EsmModel
+
+    from .struct2seq import ESM2Config
+
+    hf = EsmModel.from_pretrained(path, local_files_only=True,
+                                  add_pooling_layer=False)
+    c = hf.config
+    cfg = ESM2Config(
+        vocab_size=int(c.vocab_size), embed_dim=int(c.hidden_size),
+        num_layers=int(c.num_hidden_layers),
+        attention_heads=int(c.num_attention_heads),
+        intermediate_dim=int(c.intermediate_size),
+        token_dropout=bool(c.token_dropout),
+        layer_norm_eps=float(c.layer_norm_eps),
+    )
+    sd = {k: np.asarray(v.detach().numpy())
+          for k, v in hf.state_dict().items()}
+    return sd, cfg
+
+
+STRUCT2SEQ_PREFIX = "embedding_layer.struct2seq_embedder."
+
+
+def mpnn_esm_heads_mapping():
+    """The four trained combiner heads MPNN_ESM contributes to a Proteus
+    checkpoint (its state_dict override strips the frozen MPNN/ESM tensors,
+    strcture2seq.py:34-37). Keys are relative to STRUCT2SEQ_PREFIX."""
+    return [
+        ("esm_s_combine", "esm_s_combine", _ID),
+        ("esm_p_combine", "esm_p_combine", _ID),
+        ("esm_s_mlp.0.weight", "esm_s_mlp_ln/scale", _ID),
+        ("esm_s_mlp.0.bias", "esm_s_mlp_ln/bias", _ID),
+        *_linear("esm_s_mlp.1", "esm_s_mlp_0"),
+        *_linear("esm_s_mlp.3", "esm_s_mlp_1"),
+        *_linear("esm_p_mlp", "esm_p_mlp"),
+    ]
+
+
+def extract_struct2seq_heads(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pull the MPNN_ESM combiner-head tensors out of a full Proteus
+    state_dict (keys under ``embedding_layer.struct2seq_embedder.``)."""
+    return {k[len(STRUCT2SEQ_PREFIX):]: v for k, v in sd.items()
+            if k.startswith(STRUCT2SEQ_PREFIX)}
+
+
+def apply_mpnn_esm_heads(params: dict, heads_sd: Dict[str, np.ndarray]):
+    """Write the combiner heads into an MPNNESM Flax tree (the frozen
+    MPNN/ESM subtrees are loaded separately via apply_mpnn_state_dict /
+    apply_esm2_state_dict)."""
+    return _apply_state_dict(params, heads_sd, mpnn_esm_heads_mapping(),
+                             [], "MPNN_ESM heads")

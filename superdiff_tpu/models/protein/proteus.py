@@ -519,7 +519,13 @@ class ProteusEmbedder(nn.Module):
             )
             node = node + t_s
             edge = edge + t_z
-        if struct2seq and cfg.struct2seq_enable:
+        # ``struct2seq`` is either a static bool or a traced 0/1 scalar (the
+        # esm_rate sub-schedule flags individual scan steps,
+        # composition.py:184-187); a static False skips tracing entirely,
+        # a traced flag runs the MPNN+ESM sampler under lax.cond so
+        # unflagged steps skip the (large) ESM tower at runtime.
+        s2s_static_off = isinstance(struct2seq, bool) and not struct2seq
+        if cfg.struct2seq_enable and not s2s_static_off:
             if self.struct2seq_fn is None:
                 warnings.warn(
                     "struct2seq enabled but no MPNN+ESM weights injected "
@@ -527,7 +533,19 @@ class ProteusEmbedder(nn.Module):
                     stacklevel=2,
                 )
             else:
-                esm_s, esm_p = self.struct2seq_fn(self_condition)
+                if isinstance(struct2seq, bool):
+                    flag = None
+                    esm_s, esm_p = self.struct2seq_fn(self_condition)
+                else:
+                    flag = jnp.asarray(struct2seq, jnp.float32).reshape(())
+                    shapes = jax.eval_shape(self.struct2seq_fn, self_condition)
+                    esm_s, esm_p = jax.lax.cond(
+                        flag > 0,
+                        lambda: self.struct2seq_fn(self_condition),
+                        lambda: jax.tree_util.tree_map(
+                            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                        ),
+                    )
                 t_s, t_z = TemplateCrossEmbedder(
                     cfg.edge_embed_size, cfg.edge_embed_size,
                     cfg.node_embed_size,
@@ -536,6 +554,9 @@ class ProteusEmbedder(nn.Module):
                     cfg.inf, name="struct2seq_cross_embedder",
                 )(esm_s, esm_p, node, edge,
                   jnp.ones(node.shape[:1] + (1,), jnp.float32))
+                if flag is not None:
+                    t_s = flag * t_s
+                    t_z = flag * t_z
                 node = node + t_s
                 edge = edge + t_z
         return node, edge

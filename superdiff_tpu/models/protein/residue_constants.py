@@ -22,6 +22,7 @@ _META = json.load(open(os.path.join(_DIR, "_residue_constants_meta.json")))
 
 restypes: str = _META["restypes"]  # "ARNDCQEGHILKMFPSTWYV"
 restype_num: int = len(restypes)  # 20
+restypes_with_x: str = restypes + "X"  # index 20 = unknown
 atom_types: list = _META["atom_types"]  # 37 atom names, atom37 order
 atom_order: dict = {a: i for i, a in enumerate(atom_types)}
 restype_order: dict = {r: i for i, r in enumerate(restypes)}
