@@ -176,18 +176,28 @@ def main():
         )
     }
 
-    # FLD on the same features (x3 repeats; eval_fld.ipynb protocol)
-    for name in ("model_A_sde", "joint_or_sde"):
+    # FLD on the same features (x3 repeats; eval_fld.ipynb protocol —
+    # the full BASELINE.md FLD table: joint ODE/SDE, per-model, pool-mixed)
+    gen_feat_cache["pool_mixed_baseline"] = mixed
+    fld_rows = ("model_A_sde", "model_B_sde", "joint_or_sde", "joint_or_ode",
+                "pool_mixed_baseline")
+    for name in fld_rows:
         m, s = fld_lib.fld_repeated(
             gen_feat_cache[name][:512], train_feats[:2048], test_feats[:2048],
             n_repeats=3, subsample=384,
         )
         if np.isfinite(m):
-            rows[name]["fld"] = [round(m, 3), round(s, 3)]
+            rows.setdefault(name, {})["fld"] = [round(m, 3), round(s, 3)]
         else:
-            rows[name]["fld_note"] = (
+            rows.setdefault(name, {})["fld_note"] = (
                 "omitted: MoG fit degenerate on the random-feature stand-in"
             )
+    # FLD sanity bound, same scale as the table rows
+    m_noise, _ = fld_lib.fld_repeated(
+        noise_feats[:512], train_feats[:2048], test_feats[:2048],
+        n_repeats=3, subsample=384,
+    )
+    rows["sanity_noise"]["fld"] = round(m_noise, 3)
 
     # BPD of each trained model on held-out data (eval_utils.py:14-45 analog)
     ds_test = ImageDataset("CIFAR10", "test", seed=0)
@@ -220,6 +230,7 @@ def main():
             "sanity_noise >> all trained models",
             "untrained_model >> trained models",
             "joint compositions comparable to single models",
+            "fld: sanity_noise >> every generated row (BASELINE.md FLD table scale)",
         ],
     }
     with open(args.out, "w") as f:

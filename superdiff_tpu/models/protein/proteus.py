@@ -353,24 +353,68 @@ class TemplateCrossEmbedder(nn.Module):
 
 
 class TemplateEmbedder(nn.Module):
-    """score_network.py:411-580, self-conditioning branch.
-
-    The reference's multi-template batch branch (template_embed) shares the
-    same feature builders; generation/composition only exercises the
-    self-condition path (inference.py latents carry no template_* keys)."""
+    """score_network.py:411-580 — both the multi-template batch branch
+    (template_embed, :445-509) and the self-conditioning branch
+    (self_condition_embed, :510-579). The two branches share the angle/pair
+    embedders and the pair stack; their embedded templates are concatenated
+    along the template axis before the cross attention, exactly as the
+    reference's forward does (:425-441)."""
 
     cfg: ProteusConfig
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, pair_mask, self_condition,
-                 sc_active):
-        """``sc_active`` (traced 0/1 scalar) gates the output — the reference
-        returns zeros when no self-condition exists (score_network.py:436);
-        computing on the zero dummy and masking keeps the parameter tree and
-        the scan-carry structure static across steps."""
+                 sc_active, template_batch=None):
+        """``sc_active`` (traced 0/1 scalar) gates the self-condition
+        contribution — the reference returns zeros when no self-condition
+        exists (score_network.py:436); computing on the zero dummy and
+        masking keeps the parameter tree and the scan-carry structure static
+        across steps. ``template_batch`` (optional, static) carries real
+        template features (template_aatype [B,S,N], template_mask [B,S],
+        torsion/pseudo-beta keys) for the multi-template branch; when
+        present, the sc gate also zeroes the sc row's template_mask, which
+        excludes it from the cross attention exactly as the reference's
+        static absence does. (Caveat: with template_batch given, at least
+        one source must be live — all-masked templates AND sc_active=0 is
+        the case the reference handles by returning zeros statically.)"""
         cfg = self.cfg
         sc_s = nn.Dense(cfg.node_embed_size, name="self_condition_s")
         sc_z = nn.Dense(cfg.c_t, name="self_condition_z")
+        angle_embedder = TemplateAngleEmbedder(
+            cfg.template_angle_c_in, cfg.node_embed_size,
+            name="template_angle_embedder",
+        )
+        pair_embedder = TemplatePairEmbedder(
+            88, cfg.c_t, name="template_pair_embedder"
+        )
+        pair_stack = LightTemplatePairStackBlock(
+            cfg.c_t, cfg.tri_mul_hidden, cfg.pair_transition_n,
+            name="template_pair_stack",
+        )
+        cross = TemplateCrossEmbedder(
+            cfg.c_t, cfg.edge_embed_size, cfg.node_embed_size,
+            cfg.cross_pt_c_hidden, cfg.cross_pt_heads,
+            cfg.cross_cw_c_hidden, cfg.cross_cw_heads, cfg.inf,
+            name="template_cross_embedder",
+        )
+
+        angles, pairs, masks = [], [], []
+        if template_batch is not None:
+            # template_embed (:445-509): the reference's "poor man's vmap"
+            # loops templates one at a time; the builders here broadcast over
+            # the template axis, same math. A template whose mask is empty
+            # across the WHOLE batch is zeroed, matching the reference's
+            # data-dependent skip (:455-459).
+            t_angle = angle_embedder(build_template_angle_feat(template_batch))
+            t_pair = pair_embedder(build_template_pair_feat(
+                template_batch, cfg.template_min_bin, cfg.template_max_bin,
+                cfg.template_no_bins, eps=1e-6, inf=cfg.inf,
+            ).astype(jnp.float32))
+            keep = (template_batch["template_mask"].sum(axis=0) > 0)
+            keep = keep.astype(t_angle.dtype)
+            angles.append(t_angle * keep[None, :, None, None])
+            pairs.append(t_pair * keep[None, :, None, None, None])
+            masks.append(template_batch["template_mask"].astype(jnp.float32))
 
         aatype = self_condition["aatype"]
         pos = self_condition["final_atom_positions"]
@@ -389,32 +433,34 @@ class TemplateEmbedder(nn.Module):
             "template_alt_torsion_angles_sin_cos": alt_torsions[:, None],
             "template_torsion_angles_mask": torsion_mask[:, None],
         }
-        angle = TemplateAngleEmbedder(
-            cfg.template_angle_c_in, cfg.node_embed_size,
-            name="template_angle_embedder",
-        )(build_template_angle_feat(cf))
-        pair = TemplatePairEmbedder(
-            88, cfg.c_t, name="template_pair_embedder"
-        )(build_template_pair_feat(
+        angle = angle_embedder(build_template_angle_feat(cf))
+        pair = pair_embedder(build_template_pair_feat(
             cf, cfg.template_min_bin, cfg.template_max_bin,
             cfg.template_no_bins, eps=1e-6, inf=cfg.inf,
         ))
         if "node_embed" in self_condition and "edge_embed" in self_condition:
             angle = angle + sc_s(self_condition["node_embed"][:, None])
             pair = pair + sc_z(self_condition["edge_embed"][:, None])
-        template_mask = jnp.ones(aatype.shape[:1] + (1,), jnp.float32)
+        sc_mask = jnp.ones(aatype.shape[:1] + (1,), jnp.float32)
 
-        pair = LightTemplatePairStackBlock(
-            cfg.c_t, cfg.tri_mul_hidden, cfg.pair_transition_n,
-            name="template_pair_stack",
-        )(pair, pair_mask[:, None])
-        t_s, t_z = TemplateCrossEmbedder(
-            cfg.c_t, cfg.edge_embed_size, cfg.node_embed_size,
-            cfg.cross_pt_c_hidden, cfg.cross_pt_heads,
-            cfg.cross_cw_c_hidden, cfg.cross_cw_heads, cfg.inf,
-            name="template_cross_embedder",
-        )(angle, pair, node_embed, edge_embed, template_mask)
-        return t_s * sc_active, t_z * sc_active
+        if template_batch is None:
+            # single-source path, bit-exact round-2 behavior: gate the final
+            # outputs by sc_active
+            pair = pair_stack(pair, pair_mask[:, None])
+            t_s, t_z = cross(angle, pair, node_embed, edge_embed, sc_mask)
+            return t_s * sc_active, t_z * sc_active
+
+        sc_gate = jnp.asarray(sc_active, jnp.float32)
+        angles.append(angle * sc_gate)
+        pairs.append(pair * sc_gate)
+        masks.append(sc_mask * sc_gate)
+        angle_all = jnp.concatenate(angles, axis=1)
+        pair_all = jnp.concatenate(pairs, axis=1)
+        mask_all = jnp.concatenate(masks, axis=1)
+        # the pair stack acts independently per template, so running it on
+        # the concatenated stack equals the reference's forward (:435)
+        pair_all = pair_stack(pair_all, pair_mask[:, None])
+        return cross(angle_all, pair_all, node_embed, edge_embed, mask_all)
 
 
 class _MLP3LN(nn.Module):
@@ -514,8 +560,19 @@ class ProteusEmbedder(nn.Module):
         if cfg.sc_version == "template":
             seq_mask = batch["res_mask"].astype(jnp.float32)
             pair_mask = seq_mask[..., :, None] * seq_mask[..., None, :]
+            # multi-template branch: the reference extracts template_* keys
+            # when template_mask is present and non-empty (score_network.py
+            # :247); key presence is the static analog here — the runtime
+            # .any() check is covered by TemplateEmbedder's per-template
+            # zeroing + attention masking.
+            template_batch = None
+            if "template_mask" in batch:
+                template_batch = {
+                    k: v for k, v in batch.items() if k.startswith("template_")
+                }
             t_s, t_z = TemplateEmbedder(cfg, name="template_embedder")(
-                node, edge, pair_mask, self_condition, sc_active
+                node, edge, pair_mask, self_condition, sc_active,
+                template_batch=template_batch,
             )
             node = node + t_s
             edge = edge + t_z

@@ -173,6 +173,29 @@ def test_fld_single_center_matches_closed_form():
     np.testing.assert_allclose(np.exp(log_var), sigma2_star, rtol=5e-3)
 
 
+def test_fld_robust_on_large_norm_features():
+    """Regression for the round-2 quality-run degeneracy: on high-dim
+    large-norm features (random-Inception scale, ||x|| ~ 450) the MoG fit
+    must stay finite — including with exact-train-copy centers, which the
+    bandwidth clamp keeps from collapsing to NaN — and preserve the quality
+    ordering good < noise, memorized >> ideal."""
+    from superdiff_tpu.eval import fld as fld_mod
+
+    rng = np.random.default_rng(0)
+    d = 512
+    w = rng.normal(size=(d, d)).astype(np.float32) * 0.4
+    train = (rng.normal(size=(600, d)).astype(np.float32) @ w + 5.0)
+    test = (rng.normal(size=(600, d)).astype(np.float32) @ w + 5.0)
+    good = (rng.normal(size=(128, d)).astype(np.float32) @ w + 5.0)
+    noise = rng.normal(size=(128, d)).astype(np.float32) * 300.0
+    f_good = fld_mod.fld(good, train, test, n_steps=120)
+    f_noise = fld_mod.fld(noise, train, test, n_steps=120)
+    f_mem = fld_mod.fld(train[:128].copy(), train, test, n_steps=120)
+    assert np.isfinite([f_good, f_noise, f_mem]).all(), (f_good, f_noise, f_mem)
+    assert f_good < f_noise
+    assert f_mem > f_good
+
+
 def test_fld_rotation_invariance():
     """FLD depends only on pairwise geometry: applying one orthogonal map to
     gen/train/test leaves the value unchanged (sanity on the estimator)."""

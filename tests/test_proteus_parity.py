@@ -219,6 +219,66 @@ def test_proteus_numerical_parity_vs_reference_torch(tmp_path):
     cmp("sc pred_trans", out2_j["pred_trans"], out2_t["pred_trans"], tol=2e-3)
     cmp("sc pred_rotmats", out2_j["pred_rotmats"], out2_t["pred_rotmats"], tol=2e-3)
 
+    # --- step 3: multi-template branch (template_embed,
+    # score_network.py:445-509) concatenated with the self-condition row.
+    # Template features are precomputed ONCE (the reference's data pipeline
+    # provides them precomputed too) and fed bit-identically to both sides.
+    # Template 2's mask is all-zero to exercise the reference's
+    # skip-empty-template loop branch (:455-459) vs our keep-vector zeroing.
+    n_templ = 3
+    b, n = feats["aatype"].shape
+    tkey = jax.random.PRNGKey(21)
+    tpos = np.asarray(
+        jax.random.normal(tkey, (b, n_templ, n, 37, 3)) * 8.0, np.float32
+    )
+    taat = np.asarray(
+        jax.random.randint(jax.random.fold_in(tkey, 1), (b, n_templ, n), 0, 20),
+        np.int64,
+    )
+    flat_aat = jnp.asarray(taat.reshape(b * n_templ, n))
+    tmask37 = np.asarray(
+        aa.make_atom14_masks(flat_aat)["atom37_atom_exists"], np.float32
+    ).reshape(b, n_templ, n, 37)
+    flat_pos = jnp.asarray(tpos.reshape(b * n_templ, n, 37, 3))
+    flat_m37 = jnp.asarray(tmask37.reshape(b * n_templ, n, 37))
+    tors, alt_tors, tors_mask = aa.atom37_to_torsion_angles(
+        flat_aat, flat_pos, flat_m37
+    )
+    pb, pb_mask = aa.pseudo_beta_fn(flat_aat, flat_pos, flat_m37)
+    tb_np = {
+        "template_aatype": taat,
+        "template_all_atom_positions": tpos,
+        "template_all_atom_mask": tmask37,
+        "template_pseudo_beta": np.asarray(pb).reshape(b, n_templ, n, 3),
+        "template_pseudo_beta_mask": np.asarray(pb_mask).reshape(b, n_templ, n),
+        "template_torsion_angles_sin_cos": np.asarray(tors).reshape(
+            b, n_templ, n, 7, 2
+        ),
+        "template_alt_torsion_angles_sin_cos": np.asarray(alt_tors).reshape(
+            b, n_templ, n, 7, 2
+        ),
+        "template_torsion_angles_mask": np.asarray(tors_mask).reshape(
+            b, n_templ, n, 7
+        ),
+        "template_mask": np.array([[1.0, 1.0, 0.0]] * b, np.float32),
+    }
+    feats3 = dict(feats)
+    tfeats3 = dict(tfeats)
+    for k, v in tb_np.items():
+        feats3[k] = jnp.asarray(v)
+        tfeats3[k] = torch.tensor(v)
+    out3_j = net.apply({"params": params}, feats3, self_condition=sc_j)
+    with torch.no_grad():
+        out3_t = tnet(tfeats3, self_condition=sc_t, struct2seq=False)
+    cmp("tmpl pred_trans", out3_j["pred_trans"], out3_t["pred_trans"], tol=2e-3)
+    cmp("tmpl pred_rotmats", out3_j["pred_rotmats"], out3_t["pred_rotmats"],
+        tol=2e-3)
+    # the template rows must actually change the output vs step 2
+    assert not np.allclose(
+        np.asarray(out3_j["pred_trans"]), np.asarray(out2_j["pred_trans"]),
+        atol=1e-4,
+    )
+
 
 @pytest.mark.torch_parity
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree absent")
