@@ -134,6 +134,22 @@ def bench_protein():
             "models": "proteus_like(6 blk, local-k32) + framediff_like(4 blk)"}
 
 
+def bench_flops_audit():
+    """Independent UNet FLOP audit (scripts/flops_audit.py) in a CPU-forced
+    subprocess — the MFU denominator used by STATUS/BENCH numbers."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONPATH", None)
+    out = _sp.run(
+        [sys.executable, _os.path.join(_os.path.dirname(__file__), "flops_audit.py")],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    return _json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_DETAIL.json")
@@ -148,6 +164,7 @@ def main():
         ("cifar_joint_pallas", lambda: bench_cifar_joint(True)),
         ("sd_compose_512px", bench_sd),
         ("protein_compose", bench_protein),
+        ("sd_unet_flops_audit", bench_flops_audit),
     ]:
         log(f"running {name} ...")
         try:

@@ -1,0 +1,126 @@
+"""Capture a jax.profiler trace of the real SD UNet forward (inside a
+10-iteration lax.scan — the sampler's execution regime) and print per-op
+and per-category durations parsed from the perfetto trace.
+
+Run: python scripts/trace_unet.py [batch]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from superdiff_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+FFN_IMPL = sys.argv[2] if len(sys.argv) > 2 else "fused"
+K = 10
+LOGDIR = "/tmp/trace_unet"
+
+
+def sync(x):
+    return float(jnp.sum(jnp.abs(x).astype(jnp.float32)))
+
+
+def main():
+    from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
+
+    key = jax.random.PRNGKey(0)
+    unet = SDUNet(SDUNetConfig(ffn_impl=FFN_IMPL))
+    lat = jax.random.normal(key, (B, 64, 64, 4), jnp.bfloat16)
+    ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
+    params = jax.jit(unet.init)(key, lat[:1, :8, :8], jnp.zeros(()), ctx[:1])["params"]
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def scanned(p, c, l):
+        def body(x, _):
+            return unet.apply({"params": p}, x, jnp.float32(500.0), c).astype(
+                jnp.bfloat16
+            ), ()
+
+        out, _ = jax.lax.scan(body, l, None, length=K)
+        return out
+
+    f = jax.jit(scanned)
+    sync(f(params, ctx, lat))
+    sync(f(params, ctx, lat))
+    t0 = time.perf_counter()
+    s = sync(f(params, ctx, lat))
+    dt = (time.perf_counter() - t0) / K * 1e3
+    print(f"forward: {dt:.1f} ms/iter (batch {B}, sink={s:.3e})")
+
+    shutil.rmtree(LOGDIR, ignore_errors=True)
+    jax.profiler.start_trace(LOGDIR, create_perfetto_trace=True)
+    sync(f(params, ctx, lat))
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(LOGDIR, "**", "*.trace.json.gz"),
+                       recursive=True)
+    assert traces, f"no perfetto trace under {LOGDIR}"
+    with gzip.open(traces[0], "rt") as fh:
+        data = json.load(fh)
+
+    # device-track complete events only
+    pid_names = {}
+    for ev in data["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "device" in n.lower()}
+
+    per_op = collections.Counter()
+    for ev in data["traceEvents"]:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        name = ev.get("name", "")
+        per_op[name] += ev.get("dur", 0)
+
+    def category(name):
+        n = name.lower()
+        if n.startswith(("jit_", "while")):
+            return "outer-wrappers(excluded)"
+        if "flash" in n or "custom-call" in n or "attn" in n:
+            return "attention-kernels"
+        if n.startswith("block_"):
+            return "geglu-ffn-kernels"
+        if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")) or ".fusion" in n:
+            return "fusion(conv/matmul/elem)"
+        if "convolution" in n or "conv" in n:
+            return "convolution"
+        if "dot" in n or "einsum" in n or "matmul" in n:
+            return "matmul"
+        if "copy" in n or "transpose" in n or "bitcast" in n or "reshape" in n:
+            return "data-formatting"
+        if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n:
+            return "slice/concat/pad"
+        if "reduce" in n or "norm" in n:
+            return "reduce/norm"
+        return "other"
+
+    cats = collections.Counter()
+    for name, dur in per_op.items():
+        cats[category(name)] += dur
+
+    total = sum(d for n, d in per_op.items()
+                if category(n) != "outer-wrappers(excluded)")
+    print(f"\ntotal device time: {total/1e3/K:.1f} ms/iter over {K} iters")
+    print("\n== categories (ms/iter) ==")
+    for c, d in cats.most_common():
+        print(f"  {c:28s} {d/1e3/K:8.2f}")
+    print("\n== top 40 ops (ms/iter) ==")
+    for name, dur in per_op.most_common(40):
+        print(f"  {dur/1e3/K:8.3f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,26 @@
-from . import aggregate, bpd, clip_metrics, fid, fld, nll, self_consistency, struct_metrics, tifa
+from . import (
+    aggregate,
+    bpd,
+    clip_metrics,
+    embed_viz,
+    fid,
+    fld,
+    nll,
+    novelty,
+    self_consistency,
+    struct_metrics,
+    tifa,
+)
 
 __all__ = [
     "aggregate",
     "bpd",
     "clip_metrics",
+    "embed_viz",
     "fid",
     "fld",
     "nll",
+    "novelty",
     "self_consistency",
     "struct_metrics",
     "tifa",

@@ -64,6 +64,11 @@ class SDUNetConfig:
         "CrossAttnUpBlock2D",
     )
     norm_num_groups: int = 32
+    # Kernel selection (see CrossAttention / TransformerBlock docstrings);
+    # 'einsum' variants give the pure-XLA lowering (used e.g. by the FLOP
+    # audit, where Pallas custom calls are invisible to cost_analysis).
+    attn_impl: str = "flash"
+    ffn_impl: str = "fused"
 
     @staticmethod
     def tiny() -> "SDUNetConfig":
@@ -137,23 +142,103 @@ class GEGLU(nn.Module):
         return h * nn.gelu(gate)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``: identical param tree
+    (kernel/bias) and init, but returns the tensors instead of applying
+    them — so the fused FFN kernel can consume them while the checkpoint
+    converter paths (``ff_geglu/proj``, ``ff_out``) stay unchanged."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _GEGLUParams(nn.Module):
+    """Param-tree twin of :class:`GEGLU` (child Dense named ``proj``)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        return _DenseParams(self.in_features, self.features, name="proj")()
+
+
+class _LayerNormParams(nn.Module):
+    """Param-tree twin of ``nn.LayerNorm`` (scale/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class TransformerBlock(nn.Module):
+    """Self-attn -> cross-attn -> GEGLU FFN, pre-LayerNorm residuals.
+
+    ``ffn_impl``:
+      * 'fused' (default): the whole FFN sub-block — fp32 LayerNorm, GEGLU,
+        out-projection, residual — as one Pallas kernel
+        (``ops/pallas/geglu_ffn.geglu_ffn_block``): one HBM read of the
+        (M, C) stream and one write, vs XLA's fp32 LN round-trip + two
+        matmul round-trips + residual pass. Forward-mode differentiable
+        (custom_jvp via the einsum reference, same pattern as flash
+        attention).
+      * 'einsum': the plain LayerNorm + two-Dense lowering.
+    Both read the same parameters at the same tree paths.
+    """
+
     dim: int
     heads: int
     context_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    ffn_impl: str = "fused"
+    attn_impl: str = "flash"
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(h)
+        x = x + CrossAttention(
+            self.dim, self.heads, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn1",
+        )(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
-            self.dim, self.heads, self.context_dim, dtype=self.dtype, name="attn2"
+            self.dim, self.heads, self.context_dim, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="attn2",
         )(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
-        h = GEGLU(self.dim * 4, dtype=self.dtype, name="ff_geglu")(h)
-        x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
+        inner = self.dim * 4
+        if self.ffn_impl == "fused":
+            from ...ops.pallas.geglu_ffn import geglu_ffn_block
+
+            gamma, beta = _LayerNormParams(self.dim, name="norm3")()
+            w1, b1 = _GEGLUParams(self.dim, 2 * inner, name="ff_geglu")()
+            w2, b2 = _DenseParams(inner, self.dim, name="ff_out")()
+            x = geglu_ffn_block(
+                x.astype(self.dtype), gamma, beta, w1.astype(self.dtype), b1,
+                w2.astype(self.dtype), b2, eps=1e-5,
+            )
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
+            h = GEGLU(inner, dtype=self.dtype, name="ff_geglu")(h)
+            x = x + nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
         return x
 
 
@@ -165,6 +250,8 @@ class SpatialTransformer(nn.Module):
     context_dim: int
     depth: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    ffn_impl: str = "fused"
+    attn_impl: str = "flash"
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -177,7 +264,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             z = TransformerBlock(
                 self.channels, self.heads, self.context_dim, self.dtype,
-                name=f"block_{i}",
+                self.ffn_impl, self.attn_impl, name=f"block_{i}",
             )(z, context)
         z = z.reshape(b, h, w, self.channels)
         z = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(z)
@@ -233,7 +320,8 @@ class SDUNet(nn.Module):
                 if has_attn:
                     h = SpatialTransformer(
                         out_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
-                        dtype=self.dtype, name=f"down_{i}_attn_{j}",
+                        dtype=self.dtype, ffn_impl=cfg.ffn_impl,
+                        attn_impl=cfg.attn_impl, name=f"down_{i}_attn_{j}",
                     )(h, context)
                 hs.append(h)
             if i != len(cfg.down_block_types) - 1:
@@ -252,7 +340,8 @@ class SDUNet(nn.Module):
         h = ResnetBlock2D(mid_ch, self.dtype, name="mid_res_0")(h, temb)
         h = SpatialTransformer(
             mid_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
-            dtype=self.dtype, name="mid_attn",
+            dtype=self.dtype, ffn_impl=cfg.ffn_impl,
+            attn_impl=cfg.attn_impl, name="mid_attn",
         )(h, context)
         h = ResnetBlock2D(mid_ch, self.dtype, name="mid_res_1")(h, temb)
 
@@ -269,7 +358,8 @@ class SDUNet(nn.Module):
                 if has_attn:
                     h = SpatialTransformer(
                         out_ch, cfg.attention_head_dim, cfg.cross_attention_dim,
-                        dtype=self.dtype, name=f"up_{i}_attn_{j}",
+                        dtype=self.dtype, ffn_impl=cfg.ffn_impl,
+                        attn_impl=cfg.attn_impl, name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i != len(cfg.up_block_types) - 1:
                 # nearest-neighbor 2x upsample as repeat: identical result,

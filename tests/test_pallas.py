@@ -142,3 +142,112 @@ def test_flash_attention_jvp_matches_reference_jvp():
     o2, t2 = jax.jvp(lambda x: _reference(x, k, v, d**-0.5), (q,), (dq,))
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-5)
+
+
+def test_geglu_ffn_matches_reference():
+    """Fused GEGLU FFN kernel (interpret mode) vs the two-matmul reference,
+    multi-tile grid (m and f both split across blocks)."""
+    from superdiff_tpu.ops.pallas.geglu_ffn import _reference, geglu_ffn
+
+    m, c, f = 512, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    x = jax.random.normal(ks[0], (4, m // 4, c), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * f), jnp.float32) / np.sqrt(c)
+    b1 = jax.random.normal(ks[2], (2 * f,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (f, c), jnp.float32) / np.sqrt(f)
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32)
+    out = geglu_ffn(x, w1, b1, w2, b2, interpret=True)
+    ref = _reference(x.reshape(-1, c), w1, b1, w2, b2, True).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_geglu_ffn_exact_gelu_and_small_fallback():
+    """approximate=False (erf gelu) and the tiny-shape einsum fallback."""
+    from superdiff_tpu.ops.pallas.geglu_ffn import _reference, geglu_ffn
+
+    m, c, f = 8, 16, 32  # bf < 128 -> reference fallback path
+    ks = jax.random.split(jax.random.PRNGKey(8), 5)
+    x = jax.random.normal(ks[0], (m, c), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * f), jnp.float32)
+    b1 = jax.random.normal(ks[2], (2 * f,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (f, c), jnp.float32)
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32)
+    out = geglu_ffn(x, w1, b1, w2, b2, approximate=False, interpret=True)
+    ref = _reference(x, w1, b1, w2, b2, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_geglu_ffn_jvp_matches_reference_jvp():
+    """The ODE Ito estimator jvp's through the UNet FFN; the custom_jvp rule
+    must agree with forward-mode through the einsum reference."""
+    from superdiff_tpu.ops.pallas.geglu_ffn import _reference, geglu_ffn
+
+    m, c, f = 256, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(9), 6)
+    x = jax.random.normal(ks[0], (m, c), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * f), jnp.float32) / np.sqrt(c)
+    b1 = jax.random.normal(ks[2], (2 * f,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (f, c), jnp.float32) / np.sqrt(f)
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32)
+    dx = jax.random.normal(ks[5], x.shape, jnp.float32)
+    o1, t1 = jax.jvp(
+        lambda xx: geglu_ffn(xx, w1, b1, w2, b2, interpret=True), (x,), (dx,)
+    )
+    o2, t2 = jax.jvp(lambda xx: _reference(xx, w1, b1, w2, b2, True), (x,), (dx,))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-5, atol=2e-5)
+
+
+def test_sd_transformer_block_fused_ffn_matches_einsum():
+    """TransformerBlock ffn_impl='fused' vs 'einsum': identical param tree
+    (converter paths ff_geglu/proj, ff_out) and matching outputs."""
+    from superdiff_tpu.models.sd.unet import TransformerBlock
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 64, 32), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(12), (2, 7, 16), jnp.float32)
+    fused = TransformerBlock(32, 4, 16, dtype=jnp.float32, ffn_impl="fused")
+    plain = TransformerBlock(32, 4, 16, dtype=jnp.float32, ffn_impl="einsum")
+    pf = fused.init(key, x, ctx)["params"]
+    pp = plain.init(key, x, ctx)["params"]
+    assert jax.tree.map(jnp.shape, pf) == jax.tree.map(jnp.shape, pp)
+    of = fused.apply({"params": pf}, x, ctx)
+    op = plain.apply({"params": pf}, x, ctx)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(op), rtol=2e-4, atol=2e-4)
+
+
+def test_geglu_ffn_block_matches_reference():
+    """Fused LN+FFN+residual block kernel vs the unfused composition."""
+    from superdiff_tpu.ops.pallas.geglu_ffn import (
+        _reference_block,
+        geglu_ffn_block,
+    )
+
+    m, c, f = 512, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(13), 7)
+    x = jax.random.normal(ks[0], (2, m // 2, c), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[5], (c,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[6], (c,), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * f), jnp.float32) / np.sqrt(c)
+    b1 = jax.random.normal(ks[2], (2 * f,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (f, c), jnp.float32) / np.sqrt(f)
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32)
+    out = geglu_ffn_block(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+    ref = _reference_block(
+        x.reshape(-1, c), gamma, beta, w1, b1, w2, b2, 1e-5, True
+    ).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+    # jvp routes through the reference block
+    dx = jax.random.normal(ks[0], x.shape, jnp.float32)
+    o1, t1 = jax.jvp(
+        lambda xx: geglu_ffn_block(xx, gamma, beta, w1, b1, w2, b2, interpret=True),
+        (x,), (dx,),
+    )
+    o2, t2 = jax.jvp(
+        lambda xx: _reference_block(
+            xx.reshape(-1, c), gamma, beta, w1, b1, w2, b2, 1e-5, True
+        ).reshape(x.shape),
+        (x,), (dx,),
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=3e-5, atol=3e-5)
