@@ -121,6 +121,11 @@ def main():
     for name, dur in per_op.most_common(40):
         print(f"  {dur/1e3/K:8.3f}  {name[:110]}")
 
+    with open("/tmp/trace_unet_ops.txt", "w") as f:
+        for name, dur in per_op.most_common():
+            f.write(f"{dur/1e3/K:10.4f}\t{category(name)}\t{name}\n")
+    print("\nfull per-op table: /tmp/trace_unet_ops.txt")
+
 
 if __name__ == "__main__":
     main()

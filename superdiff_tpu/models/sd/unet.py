@@ -106,12 +106,28 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        ctx = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        # Packed projections: one (C, 3C) matmul for self-attention qkv (or
+        # (C, 2C) for cross-attention kv) instead of three Dense calls —
+        # one HBM read of the (M, C) stream instead of three, and a wider
+        # MXU N dim. Param tree/init identical to the three nn.Dense
+        # modules (the converter paths to_q/to_k/to_v are unchanged).
+        wq, = _KernelParams(x.shape[-1], inner, name="to_q")()
+        ctx_dim = x.shape[-1] if context is None else context.shape[-1]
+        wk, = _KernelParams(ctx_dim, inner, name="to_k")()
+        wv, = _KernelParams(ctx_dim, inner, name="to_v")()
+        xc = x.astype(self.dtype)
+        if context is None:
+            qkv = xc @ jnp.concatenate(
+                [wq, wk, wv], axis=1
+            ).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            ctx = context.astype(self.dtype)
+            q = xc @ wq.astype(self.dtype)
+            kv = ctx @ jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+            k, v = jnp.split(kv, 2, axis=-1)
         b, lq, _ = q.shape
         lk = k.shape[1]
         q = q.reshape(b, lq, self.heads, head_dim)
@@ -140,6 +156,24 @@ class GEGLU(nn.Module):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate)
+
+
+class _KernelParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense(use_bias=False)``: identical
+    param tree (kernel) and init, returned instead of applied — used to
+    pack the q/k/v projections into one matmul while keeping the converter
+    paths (``to_q``/``to_k``/``to_v``) unchanged."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, ...]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        return (kernel,)
 
 
 class _DenseParams(nn.Module):

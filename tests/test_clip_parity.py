@@ -19,6 +19,9 @@ from superdiff_tpu.models.sd import convert
 from superdiff_tpu.models.sd.clip import CLIPTextConfig, CLIPTextEncoder
 
 
+pytestmark = pytest.mark.torch_parity
+
+
 @pytest.fixture(scope="module")
 def torch_clip():
     torch = pytest.importorskip("torch")
