@@ -115,21 +115,23 @@ def _pick_blocks(m, c, f):
     return bm, bf
 
 
-def _ffn_impl(x, gamma, beta, w1v, w1g, b1v, b1g, w2, b2, approximate,
+def _ffn_impl(x, gamma, beta, w1, b1, w2, b2, approximate,
               eps, fuse_ln, fuse_residual, interpret):
     m, c = x.shape
-    f = w1v.shape[1]
+    f = w2.shape[0]
     bm, bf = _pick_blocks(m, c, f)
     if bm < 8 or bf < 128:
-        w1 = jnp.concatenate([w1v, w1g], axis=1)
-        b1 = jnp.concatenate([b1v[0], b1g[0]])
         if fuse_ln or fuse_residual:
             assert fuse_ln and fuse_residual
             return _reference_block(
-                x, gamma[0], beta[0], w1, b1, w2, b2[0], eps, approximate
+                x, gamma[0], beta[0], w1, b1[0], w2, b2[0], eps, approximate
             )
-        return _reference(x, w1, b1, w2, b2[0], approximate)
+        return _reference(x, w1, b1[0], w2, b2[0], approximate)
     n_m, n_f = m // bm, f // bf
+    # w1/b1 are passed WHOLE twice; the value half reads block column j and
+    # the gate half block column j + n_f of the same (C, 2F) array — slicing
+    # in the wrapper materialized two (C, F) copies through HBM every step
+    # (measured as a 2.3 ms kLoop fusion per L2 block in the trace).
     return pl.pallas_call(
         functools.partial(
             _kernel, n_f=n_f, approximate=approximate, eps=eps,
@@ -142,9 +144,9 @@ def _ffn_impl(x, gamma, beta, w1v, w1g, b1v, b1g, w2, b2, approximate,
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((c, bf), lambda i, j: (0, j)),
+            pl.BlockSpec((c, bf), lambda i, j, n_f=n_f: (0, j + n_f)),
             pl.BlockSpec((1, bf), lambda i, j: (0, j)),
-            pl.BlockSpec((1, bf), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bf), lambda i, j, n_f=n_f: (0, j + n_f)),
             pl.BlockSpec((bf, c), lambda i, j: (j, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
@@ -157,20 +159,15 @@ def _ffn_impl(x, gamma, beta, w1v, w1g, b1v, b1g, w2, b2, approximate,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, gamma, beta, w1v, w1g, b1v, b1g, w2, b2)
+    )(x, gamma, beta, w1, w1, b1, b1, w2, b2)
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _ffn(x, gamma, beta, w1, b1, w2, b2, approximate, eps, fuse_ln,
          fuse_residual, interpret):
-    m, c = x.shape
-    f = w2.shape[0]
-    w1v, w1g = w1[:, :f], w1[:, f:]
-    b1v, b1g = b1[None, :f], b1[None, f:]
     return _ffn_impl(
         x, gamma[None, :].astype(jnp.float32), beta[None, :].astype(jnp.float32),
-        w1v, w1g,
-        b1v.astype(jnp.float32), b1g.astype(jnp.float32),
+        w1, b1[None, :].astype(jnp.float32),
         w2, b2[None, :].astype(jnp.float32), approximate, eps,
         fuse_ln, fuse_residual, interpret,
     )
