@@ -25,7 +25,40 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _tunnel_alive() -> bool:
+    """The axon TPU plugin reaches the chip via a local relay; if no relay
+    port is listening the plugin hangs forever instead of erroring. Probe
+    the relay's ports (see /root/.tpu_init.py) so a dead tunnel produces a
+    JSON line instead of a silent hang."""
+    import socket
+
+    for port in (8082, 8083, 8087, 8092, 8093, 8097):
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.settimeout(1.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" and not _tunnel_alive():
+        _log("TPU tunnel relay is not listening — cannot reach the chip")
+        print(json.dumps({
+            "metric": "superdiff_sd_or_2model_512px_50step_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "tpu_tunnel_down",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
