@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
     local_mesh_for_testing,
 )
+from .tp import make_tp_mesh, place_tp, sd_tp_shardings
 
 __all__ = [
     "make_mesh",
@@ -15,4 +16,7 @@ __all__ = [
     "ensemble_sharding",
     "shard_batch",
     "local_mesh_for_testing",
+    "make_tp_mesh",
+    "place_tp",
+    "sd_tp_shardings",
 ]

@@ -1,0 +1,93 @@
+"""Tensor-parallel Stable-Diffusion UNet inference over a device mesh.
+
+Beyond the reference's parallelism story (the reference runs SD inference on
+one GPU, data-parallel at most): shard the transformer tier of the SD UNet
+over a ``tp`` mesh axis so one latent's forward spans several chips —
+attention projections column-sharded over heads, the attention output
+row-sharded, the GEGLU FFN column/row-sharded over its hidden dim — while
+the conv tier stays replicated (its weights are reused across the batch
+that the ``data`` axis already splits). XLA GSPMD inserts the collectives:
+with the Megatron-style column→row pairing below, each transformer block
+needs exactly one all-reduce after ``to_out`` and one after ``ff_out``,
+riding ICI.
+
+Works on the **einsum lowering** (``SDUNetConfig(attn_impl='einsum',
+ffn_impl='einsum')``): GSPMD propagates through plain dots/einsums; the
+Pallas kernels are single-chip programs (a sharded operand would force an
+all-gather at the custom-call boundary), so multi-chip TP uses the XLA
+path and single-chip throughput uses the kernels — selected per run by the
+same config flag.
+
+Head-count divisibility: SD-1.x has 8 attention heads; tp in {2, 4, 8}
+keeps head groups whole. The GEGLU split(2F -> F, F) halves are each
+divisible by tp as well (F = 4C, C a multiple of 64).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# (path regex, PartitionSpec) — first match wins; kernels only (biases and
+# norm scales are tiny, replicated).
+_TP_RULES = (
+    # attention: column-parallel qkv (shards heads), row-parallel out
+    (re.compile(r"attn\d/to_[qkv]/kernel$"), P(None, "tp")),
+    (re.compile(r"attn\d/to_out/kernel$"), P("tp", None)),
+    # GEGLU FFN: column-parallel in-projection, row-parallel out-projection
+    (re.compile(r"ff_geglu/proj/kernel$"), P(None, "tp")),
+    (re.compile(r"ff_out/kernel$"), P("tp", None)),
+    # per-token projections around the transformer stack
+    (re.compile(r"proj_in/kernel$"), P(None, "tp")),
+    (re.compile(r"proj_out/kernel$"), P("tp", None)),
+)
+
+
+def sd_tp_shardings(params: Any, mesh: Mesh) -> Any:
+    """A NamedSharding pytree for SD UNet params: transformer kernels
+    sharded over the mesh's ``tp`` axis per the Megatron pairing above,
+    everything else replicated."""
+    assert "tp" in mesh.axis_names, mesh.axis_names
+    replicated = NamedSharding(mesh, P())
+
+    def spec_for(path: str, leaf) -> NamedSharding:
+        for rx, spec in _TP_RULES:
+            if rx.search(path):
+                # only shard when the dimension divides evenly
+                axis_sizes = mesh.shape
+                tp = axis_sizes["tp"]
+                dim = [i for i, s in enumerate(spec) if s == "tp"][0]
+                if leaf.shape[dim] % tp == 0:
+                    return NamedSharding(mesh, spec)
+                return replicated
+        return replicated
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    out = []
+    for keypath, leaf in flat:
+        path = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in keypath
+        )
+        out.append(spec_for(path, leaf))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def place_tp(params: Any, mesh: Mesh) -> Any:
+    """Device-put the param tree with :func:`sd_tp_shardings`."""
+    shardings = sd_tp_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def make_tp_mesh(data: int, tp: int) -> Mesh:
+    """A ('data', 'tp') mesh; tp innermost so a latent's tensor shards sit
+    on neighboring chips (TP collectives are per-step, DP has none at
+    inference)."""
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[: data * tp]).reshape(data, tp)
+    return Mesh(devs, ("data", "tp"))
