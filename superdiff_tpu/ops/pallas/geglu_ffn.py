@@ -28,6 +28,7 @@ UNet, so forward-mode routes through the plain einsum path (same pattern as
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -104,12 +105,18 @@ def _kernel(x_ref, g_ref, be_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
 def _pick_blocks(m, c, f):
     """Row/hidden tile sizes under the ~16 MB VMEM budget (weights tiles
     double-buffered by the pipeline; the fp32 (bm, bf) value/gate
-    intermediates are the dominant term)."""
-    bf = f if c <= 320 else 512
-    bm = 1024 if c <= 320 else (512 if c <= 640 else 256)
+    intermediates are the dominant term). Overridable for on-chip sweeps
+    via SUPERDIFF_GEGLU_BLOCKS="bm,bf" (scripts/bench_geglu_blocks.py)."""
+    override = os.environ.get("SUPERDIFF_GEGLU_BLOCKS")
+    if override:
+        bm, bf = (int(v) for v in override.split(","))
+    else:
+        bf = f if c <= 320 else 512
+        bm = 1024 if c <= 320 else (512 if c <= 640 else 256)
     bm = min(bm, m)
     while m % bm:
         bm //= 2
+    bf = min(bf, f)
     while f % bf:
         bf //= 2
     return bm, bf
