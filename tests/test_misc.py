@@ -198,3 +198,20 @@ def test_mean_pool_conv_pairs_halve_resolution():
         m = cls(output_dim=6)
         p = m.init(k, x)
         assert m.apply(p, x).shape == (2, 4, 4, 6)
+
+
+def test_flops_audit_analytic_matches_known_sd_unet_cost():
+    """The MFU denominator (scripts/flops_audit.py) must stay at the known
+    SD-1.x UNet cost: ~339 GMAC = ~0.70 TFLOP per 512px image-forward.
+    Guards against silent edits to the per-module accounting."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "flops_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "flops_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    total, notes = mod.analytic_flops()
+    assert abs(total / 1e12 - 0.7007) < 0.002, notes
