@@ -76,3 +76,42 @@ def test_tp_indivisible_dim_falls_back_to_replication():
     params = {"block_0": {"attn1": {"to_q": {"kernel": jnp.zeros((64, 60))}}}}
     sh = sd_tp_shardings(params, mesh)
     assert sh["block_0"]["attn1"]["to_q"]["kernel"].spec == P()
+
+
+def test_tp_full_composition_sampler_matches_replicated():
+    """TP-sharded UNet params through the full OR-composition scan
+    (pipelines/sd.make_sampler) must reproduce the replicated sampler's
+    latents — the multi-chip inference path end-to-end, not one forward."""
+    from superdiff_tpu.models.sd.clip import CLIPTextConfig
+    from superdiff_tpu.models.sd.vae import VAEConfig
+    from superdiff_tpu.pipelines import sd as sdp
+
+    base = SDUNetConfig.tiny()
+    ucfg = type(base)(**{
+        **base.__dict__, "attn_impl": "einsum", "ffn_impl": "einsum",
+    })
+    # fp32: at bf16 the TP reduction reorder (~1e-2 per forward) is
+    # chaos-amplified by the 3-step trajectory into O(1) latent drift —
+    # same phenomenon as the and_ode golden; fp32 keeps the reorder at
+    # float-epsilon so the equality assertion is meaningful.
+    mod = sdp.build_sd_modules(
+        jax.random.PRNGKey(0), unet_config=ucfg,
+        text_config=CLIPTextConfig.tiny(), vae_config=VAEConfig.tiny(),
+        height=64, width=64, dtype=jnp.float32,
+    )
+    cfg = sdp.SDPipelineConfig(num_inference_steps=3, height=64, width=64)
+    key = jax.random.PRNGKey(5)
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (2, 77, 64), jnp.float32)
+
+    run = sdp.make_sampler(mod, "or", cfg)
+    ref_lat, ref_traces = run(key, ctx, ctx, ctx)
+
+    mesh = make_tp_mesh(data=2, tp=4)
+    mod.unet_params = place_tp(mod.unet_params, mesh)
+    lat, traces = run(key, ctx, ctx, ctx)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(ref_lat),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(traces["kappa"]), np.asarray(ref_traces["kappa"]),
+        rtol=5e-4, atol=5e-4,
+    )
