@@ -61,8 +61,9 @@ def tm_affinity(coords: Sequence[np.ndarray], batch_pairs: int = 4096) -> np.nda
 
     P, lengths = _pad_stack(coords)
     n = len(P)
-    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    pairs = np.stack([ii.ravel(), jj.ravel()], -1)
+    # Kabsch TM is symmetric: compute the upper triangle only and mirror
+    iu, ju = np.triu_indices(n)
+    pairs = np.stack([iu, ju], -1)
 
     Pd = jnp.asarray(P)
     Ld = jnp.asarray(lengths)
@@ -94,8 +95,10 @@ def tm_affinity(coords: Sequence[np.ndarray], batch_pairs: int = 4096) -> np.nda
     for s in range(0, len(pairs), batch_pairs):
         chunk = jnp.asarray(pairs[s : s + batch_pairs])
         out[s : s + len(chunk)] = np.asarray(f(chunk))
-    M = out.reshape(n, n)
-    return np.maximum(M, M.T)  # symmetrize (Kabsch TM is symmetric up to fp)
+    M = np.zeros((n, n), np.float32)
+    M[iu, ju] = out
+    M[ju, iu] = out
+    return M
 
 
 def foldseek_affinity(
