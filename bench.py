@@ -26,22 +26,29 @@ def _log(msg):
 
 
 def _tunnel_alive() -> bool:
-    """The axon TPU plugin reaches the chip via a local relay; if no relay
-    port is listening the plugin hangs forever instead of erroring. Probe
-    the relay's ports (see /root/.tpu_init.py) so a dead tunnel produces a
-    JSON line instead of a silent hang."""
+    """The axon TPU plugin reaches the chip via the endpoint(s) in
+    PALLAS_AXON_POOL_IPS (a local relay in this image); when the endpoint is
+    unreachable the plugin hangs forever instead of erroring. Probe it so a
+    dead tunnel produces a JSON line instead of a silent hang. If the pool
+    env var is absent (plugin configured some other way), assume alive —
+    never skip a bench that could have run."""
+    import os
     import socket
 
-    for port in (8082, 8083, 8087, 8092, 8093, 8097):
-        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        s.settimeout(1.0)
-        try:
-            s.connect(("127.0.0.1", port))
-            return True
-        except OSError:
-            continue
-        finally:
-            s.close()
+    ips = [s for s in os.environ.get("PALLAS_AXON_POOL_IPS", "").split(",") if s]
+    if not ips:
+        return True
+    for ip in ips:
+        for port in (8082, 8083, 8087, 8092, 8093, 8097):
+            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            s.settimeout(1.0)
+            try:
+                s.connect((ip, port))
+                return True
+            except OSError:
+                continue
+            finally:
+                s.close()
     return False
 
 
