@@ -102,10 +102,14 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, train: bool) -> Array:
-        h = nn.swish(GroupNorm32()(x))
+        # eps 1e-6: the reference ScoreNet uses flax nn.GroupNorm defaults
+        # (cifar/models/normalization.py:39 -> nn.GroupNorm, epsilon=1e-6);
+        # parity-tested in tests/test_cifar_unet_parity.py. The SD UNet keeps
+        # the diffusers convention (1e-5) via GroupNorm32's default.
+        h = nn.swish(GroupNorm32(eps=1e-6)(x))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype)(h)
         h = h + nn.Dense(self.out_ch, dtype=self.dtype)(nn.swish(temb))[:, None, None, :]
-        h = nn.swish(GroupNorm32()(h))
+        h = nn.swish(GroupNorm32(eps=1e-6)(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(
             self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
@@ -124,7 +128,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, hh, ww, c = x.shape
-        h = GroupNorm32()(x)
+        h = GroupNorm32(eps=1e-6)(x)
         q = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         k = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         v = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
@@ -214,7 +218,7 @@ class ScoreUNet(nn.Module):
                 h = Upsample(self.resamp_with_conv, dtype)(h)
         assert not hs
 
-        h = nn.swish(GroupNorm32()(h))
+        h = nn.swish(GroupNorm32(eps=1e-6)(h))
         h = nn.Conv(
             x.shape[-1], (3, 3), padding="SAME", dtype=dtype,
             kernel_init=nn.initializers.zeros,
