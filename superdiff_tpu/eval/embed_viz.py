@@ -50,11 +50,16 @@ def _pad_stack(coords: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def tm_affinity(coords: Sequence[np.ndarray], batch_pairs: int = 4096) -> np.ndarray:
-    """All-vs-all TM-score matrix, computed on device in one vmapped sweep.
+    """All-vs-all Kabsch-TM affinity matrix, one vmapped on-device sweep.
 
     Each pair is truncated to the shorter length, Kabsch-superposed
     (masked), and scored with d0(L) = 1.24 (L-15)^(1/3) - 1.8 over the
-    common prefix — identical math to ``struct_metrics.tm_score``.
+    common prefix — identical math to ``struct_metrics.tm_score_kabsch``,
+    i.e. the TM-score under the RMSD-optimal superposition. This is a
+    *lower bound* on the TM-align-style optimized TM-score
+    (``struct_metrics.tm_score``): the one-shot Kabsch fit keeps the
+    all-pairs map one dense vmapped kernel; the monotone bound preserves
+    the neighborhood structure the embedding consumes.
     """
     import jax
     import jax.numpy as jnp

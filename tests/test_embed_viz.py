@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from superdiff_tpu.eval import embed_viz
-from superdiff_tpu.eval.struct_metrics import tm_score
+from superdiff_tpu.eval.struct_metrics import tm_score_kabsch
 
 
 def _helix(n, seed, noise=0.15):
@@ -43,7 +43,7 @@ def test_tm_affinity_matches_numpy_metric(families):
     np.testing.assert_allclose(A, A.T, atol=1e-4)
     for i in range(4):
         for j in range(i + 1, 4):
-            ref = tm_score(coords[i], coords[j])
+            ref = tm_score_kabsch(coords[i], coords[j])
             assert abs(A[i, j] - ref) < 2e-3, (i, j, A[i, j], ref)
 
 
@@ -51,7 +51,7 @@ def test_tm_affinity_unequal_lengths_truncates(families):
     helices, _ = families
     short = helices[0][:40]
     A = embed_viz.tm_affinity([helices[1], short])
-    ref = tm_score(helices[1][:40], short)
+    ref = tm_score_kabsch(helices[1][:40], short)
     assert abs(A[0, 1] - ref) < 2e-3
 
 
