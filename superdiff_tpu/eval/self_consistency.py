@@ -33,22 +33,28 @@ class SelfConsistencyConfig:
     max_retries: int = 5  # retry bound (run_self_consistency.py:274-288)
     protein_mpnn_cmd: Optional[str] = None  # e.g. "python protein_mpnn_run.py"
     designability_rmsd: float = 2.0  # scRMSD < 2A threshold (proteins/README.md:99)
+    retry_delay: float = 1.0  # seconds between MPNN retries
 
 
-def run_subprocess_with_retry(cmd: Sequence[str], max_retries: int, log=print) -> int:
+def run_subprocess_with_retry(
+    cmd: Sequence[str], max_retries: int, log=print, delay: float = 1.0
+) -> int:
     """Bounded-retry subprocess runner (the reference's only fault-tolerance
-    mechanism for the MPNN stage)."""
+    mechanism for the MPNN stage). Returns the number of attempts used."""
     for attempt in range(max_retries):
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode == 0:
             return attempt + 1
         log(f"attempt {attempt + 1}/{max_retries} failed: {proc.stderr[-400:]}")
-        time.sleep(1.0)
+        time.sleep(delay)
     raise RuntimeError(f"command failed after {max_retries} retries: {cmd}")
 
 
-def inverse_fold(pdb_path: str, cfg: SelfConsistencyConfig) -> Optional[List[str]]:
-    """ProteinMPNN stage; None when the external CLI is unavailable."""
+def inverse_fold(
+    pdb_path: str, cfg: SelfConsistencyConfig
+) -> Optional[tuple[List[str], int]]:
+    """ProteinMPNN stage; None when the external CLI is unavailable,
+    otherwise (designed sequences, subprocess attempts used)."""
     if not cfg.protein_mpnn_cmd:
         return None
     out_dir = pdb_path + ".mpnn"
@@ -61,13 +67,15 @@ def inverse_fold(pdb_path: str, cfg: SelfConsistencyConfig) -> Optional[List[str
         "--seed", "38",
         "--batch_size", "1",
     ]
-    run_subprocess_with_retry(cmd, cfg.max_retries)
+    attempts = run_subprocess_with_retry(
+        cmd, cfg.max_retries, delay=cfg.retry_delay
+    )
     fasta_dir = os.path.join(out_dir, "seqs")
     seqs: List[str] = []
     for fname in sorted(os.listdir(fasta_dir)) if os.path.isdir(fasta_dir) else []:
         with open(os.path.join(fasta_dir, fname)) as f:
             seqs += [l.strip() for l in f if l.strip() and not l.startswith(">")]
-    return seqs[1:]  # first record is the input sequence
+    return seqs[1:], attempts  # first record is the input sequence
 
 
 def get_esmfold_refolder() -> Optional[Callable[[str], np.ndarray]]:
@@ -111,15 +119,27 @@ def run_self_consistency(
     pdb_path: str,
     cfg: SelfConsistencyConfig = SelfConsistencyConfig(),
     csv_path: Optional[str] = None,
+    refolder: Optional[Callable[[str], np.ndarray]] = None,
 ) -> dict:
     """Full chain for one backbone; skips unavailable external stages and
-    reports what ran. Appends per-sequence rows to ``sc_results.csv``."""
-    result = {"pdb": pdb_path, "mpnn": False, "esmfold": False, "rows": []}
-    seqs = inverse_fold(pdb_path, cfg)
-    if seqs is None:
+    reports what ran. Appends per-sequence rows to ``sc_results.csv``.
+
+    ``refolder`` overrides the ESMFold stage (``get_esmfold_refolder``) —
+    the seam that lets the whole subprocess-to-CSV chain run under test
+    with a stub fold function and a mock MPNN CLI
+    (``tests/test_self_consistency.py``), mirroring the reference chain at
+    ``evaluation/run_self_consistency.py:246-349``."""
+    result = {
+        "pdb": pdb_path, "mpnn": False, "esmfold": False,
+        "mpnn_attempts": 0, "rows": [],
+    }
+    folded = inverse_fold(pdb_path, cfg)
+    if folded is None:
         return result
+    seqs, result["mpnn_attempts"] = folded
     result["mpnn"] = True
-    refolder = get_esmfold_refolder()
+    if refolder is None:
+        refolder = get_esmfold_refolder()
     if refolder is None:
         return result
     result["esmfold"] = True
