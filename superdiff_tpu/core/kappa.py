@@ -119,8 +119,12 @@ def kappa_and_generic(
     Rebuild of the protein ``kappa_AND`` (``composition.py:378-420``): the
     numerator equates the divergence-free dll increments of the two models;
     ``logp * sigma_weight / num_steps`` is the normalized-sigma lift bias.
-    Computed in float64-on-demand in the reference; we use float32 with a
-    max-subtracted formulation which is stable at these magnitudes.
+    Computed in float64-on-demand in the reference (``composition.py:
+    379-380``); here float32 suffices because ``d = a - b`` is formed
+    elementwise FIRST (no difference-of-large-sums ever exists) and XLA
+    reduces with tree summation — measured max |kappa_fp32 - kappa_fp64|
+    ~1e-4 across full-schedule sweeps at N=512 including near-degenerate
+    model agreement (``tests/test_kappa_precision.py``).
     Returns a scalar per batch element (B,).
     """
     a = score_a.astype(jnp.float32)

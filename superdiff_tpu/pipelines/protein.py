@@ -69,8 +69,11 @@ def _dx_ind_trans(f_x, score_b, beta_t, dt, noise):
 def _kappa_and(score_a, score_b, dx_ind, f_x, beta_t, dt, lift_term):
     """Closed-form AND kappa for one component (``composition.py:378-420``):
     equalizes the divergence-free dll increments of the two models. Returns
-    per-batch scalars (B,). fp32 with the same max-magnitude structure the
-    reference handles in fp64."""
+    per-batch scalars (B,). fp32 where the reference casts to fp64
+    (``composition.py:379-380``) — validated: max |dkappa| vs an fp64 twin
+    is ~1e-4 over the full 500-step schedule at N=512, worst case included
+    (``tests/test_kappa_precision.py``), because ``d = a - b`` is formed
+    elementwise before any reduction."""
     a = score_a.astype(jnp.float32)
     b = score_b.astype(jnp.float32)
     d = a - b
