@@ -20,6 +20,8 @@ Sources, in order of preference:
   1. local raw files under ``SUPERDIFF_DATA_DIR`` (no network in this
      environment): CIFAR-10 python batches (``cifar-10-batches-py``),
      MNIST IDX files (``mnist/``), SVHN cropped ``.mat`` files (``svhn/``),
+     CelebA aligned JPEGs (``celeba/img_align_celeba`` + optional
+     ``list_eval_partition.txt``),
   2. a deterministic synthetic stand-in with the same shapes/labels so every
      pipeline stage can run end-to-end without the real data.
 
@@ -151,6 +153,60 @@ def _load_svhn_local(data_dir: str) -> Optional[Tuple[np.ndarray, ...]]:
     return train_x, train_y, test_x, test_y
 
 
+def _load_celeba_local(data_dir: str) -> Optional[Tuple[np.ndarray, ...]]:
+    """CelebA aligned image-folder loader (``img_align_celeba/`` JPEGs +
+    optional ``list_eval_partition.txt``), the local-file analog of the
+    reference's ``tfds.builder('celeb_a')`` (``cifar/datasets.py:126-135``).
+
+    Partition codes follow the official file: 0=train, 1=validation,
+    2=test; the validation set fills the eval slot (the reference's
+    ``eval_split_name = 'validation'``). Without a partition file, the
+    last 10% of the sorted filenames serve as validation. CelebA carries
+    no class label in this pipeline — labels are zeros, so the class-
+    filter split DSL is a no-op, exactly as with tfds celeb_a. Images are
+    decoded with PIL at their aligned 178x218 size; the celeba
+    ``central_crop(140)`` + resize happens downstream in ``batches()``.
+    """
+    root = os.path.join(data_dir, "celeba")
+    img_dir = os.path.join(root, "img_align_celeba")
+    if not os.path.isdir(img_dir):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    names = sorted(
+        f for f in os.listdir(img_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    if not names:
+        return None
+    part_path = os.path.join(root, "list_eval_partition.txt")
+    if os.path.exists(part_path):
+        parts = {}
+        with open(part_path) as f:
+            for line in f:
+                fields = line.split()
+                if len(fields) == 2:
+                    parts[fields[0]] = int(fields[1])
+        train_names = [n for n in names if parts.get(n, 0) == 0]
+        val_names = [n for n in names if parts.get(n, 0) == 1]
+    else:
+        cut = max(len(names) - max(len(names) // 10, 1), 1)
+        train_names, val_names = names[:cut], names[cut:]
+
+    def load(subset):
+        imgs = np.stack([
+            np.asarray(Image.open(os.path.join(img_dir, n)).convert("RGB"))
+            for n in subset
+        ])
+        return imgs, np.zeros(len(imgs), np.int64)
+
+    train_x, train_y = load(train_names)
+    val_x, val_y = load(val_names)
+    return train_x, train_y, val_x, val_y
+
+
 def _synthetic_images(shape=(32, 32, 3), n_train=50_000, n_test=10_000, seed=0):
     """Deterministic class-structured stand-in (shapes/labels per dataset)."""
     rng = np.random.default_rng(seed)
@@ -195,9 +251,7 @@ _DATASETS = {
     "cifar10": (_load_cifar10_local, (32, 32, 3), "test", 32, None),
     "mnist": (_load_mnist_local, (28, 28, 1), "test", 28, None),
     "svhn": (_load_svhn_local, (32, 32, 3), "test", 32, None),
-    # celeb_a raw images are 218x178; no dependency-free local format, so
-    # celeba is synthetic-only until an image-folder loader is needed
-    "celeba": (lambda _d: None, (218, 178, 3), "validation", 64, 140),
+    "celeba": (_load_celeba_local, (218, 178, 3), "validation", 64, 140),
 }
 
 
