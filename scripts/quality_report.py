@@ -130,6 +130,16 @@ def main():
         "joint_or_ode": ([pa, pb], "ode", "or"),
         "joint_avg_sde": ([pa, pb], "sde", "avg"),
     }
+    def fid_row(ref, f):
+        # bootstrap CI over the generated pool (VERDICT r3 weak #6: FID at
+        # n=1024 has several points of noise; orderings need margins)
+        b = fid_lib.fid_bootstrap(ref, f, n_boot=16, seed=0)
+        return {
+            "value": round(b["value"], 3),
+            "ci95": [round(b["ci95"][0], 3), round(b["ci95"][1], 3)],
+            "boot_std": round(b["boot_std"], 3),
+        }
+
     rows = {}
     gen_feat_cache = {}
     for name, (params, mode, op) in runs.items():
@@ -137,8 +147,11 @@ def main():
         log(f"sampling {name}")
         f = gen_features(params, mode, op)
         gen_feat_cache[name] = f
+        ftr = fid_row(train_feats, f)
         rows[name] = {
-            "fid_train": round(fid_lib.fid_from_features(train_feats, f), 3),
+            "fid_train": ftr["value"],
+            "fid_train_ci95": ftr["ci95"],
+            "fid_train_boot_std": ftr["boot_std"],
             "fid_test": round(fid_lib.fid_from_features(test_feats, f), 3),
             "seconds": round(time.time() - t0, 1),
         }
@@ -149,8 +162,11 @@ def main():
         [gen_feat_cache["model_A_sde"][: args.n_samples // 2],
          gen_feat_cache["model_B_sde"][: args.n_samples // 2]]
     )
+    fm = fid_row(train_feats, mixed)
     rows["pool_mixed_baseline"] = {
-        "fid_train": round(fid_lib.fid_from_features(train_feats, mixed), 3),
+        "fid_train": fm["value"],
+        "fid_train_ci95": fm["ci95"],
+        "fid_train_boot_std": fm["boot_std"],
         "fid_test": round(fid_lib.fid_from_features(test_feats, mixed), 3),
     }
 
@@ -158,22 +174,27 @@ def main():
     rng = np.random.default_rng(0)
     noise_imgs = rng.integers(0, 256, (args.n_samples, 32, 32, 3), dtype=np.uint8)
     noise_feats = feature_fn(noise_imgs)
-    rows["sanity_train_subset"] = {
-        "fid_train": round(fid_lib.fid_from_features(train_feats, split_features("train[:20%]", args.n_samples)), 3)
-    }
-    rows["sanity_noise"] = {
-        "fid_train": round(fid_lib.fid_from_features(train_feats, noise_feats), 3)
-    }
+    for name, feats in (
+        ("sanity_train_subset", split_features("train[:20%]", args.n_samples)),
+        ("sanity_noise", noise_feats),
+    ):
+        fr = fid_row(train_feats, feats)
+        rows[name] = {
+            "fid_train": fr["value"],
+            "fid_train_ci95": fr["ci95"],
+            "fid_train_boot_std": fr["boot_std"],
+        }
 
     # untrained-model bound: random-init params through the same sampler
     p_rand = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(99), "dropout": jax.random.PRNGKey(99)},
         jnp.ones((1, 1, 1, 1)), jnp.zeros((1, 32, 32, 3)), None, train=False,
     )["params"]
+    fu = fid_row(train_feats, gen_features([p_rand], "sde", "avg"))
     rows["untrained_model_sde"] = {
-        "fid_train": round(
-            fid_lib.fid_from_features(train_feats, gen_features([p_rand], "sde", "avg")), 3
-        )
+        "fid_train": fu["value"],
+        "fid_train_ci95": fu["ci95"],
+        "fid_train_boot_std": fu["boot_std"],
     }
 
     # FLD on the same features (x3 repeats; eval_fld.ipynb protocol —
@@ -188,6 +209,9 @@ def main():
         )
         if np.isfinite(m):
             rows.setdefault(name, {})["fld"] = [round(m, 3), round(s, 3)]
+            # t(2) 97.5% quantile (4.303) over the 3 repeats
+            hw = 4.303 * s / np.sqrt(3)
+            rows[name]["fld_ci95"] = [round(m - hw, 3), round(m + hw, 3)]
         else:
             rows.setdefault(name, {})["fld_note"] = (
                 "omitted: MoG fit degenerate on the random-feature stand-in"
@@ -197,7 +221,12 @@ def main():
         noise_feats[:512], train_feats[:2048], test_feats[:2048],
         n_repeats=3, subsample=384,
     )
-    rows["sanity_noise"]["fld"] = round(m_noise, 3)
+    if np.isfinite(m_noise):
+        rows["sanity_noise"]["fld"] = round(m_noise, 3)
+    else:
+        rows["sanity_noise"]["fld_note"] = (
+            "omitted: MoG fit degenerate on the random-feature stand-in"
+        )
 
     # BPD of each trained model on held-out data (eval_utils.py:14-45 analog)
     ds_test = ImageDataset("CIFAR10", "test", seed=0)
@@ -216,6 +245,53 @@ def main():
         bpd, _ = bpd_fn(jax.random.PRNGKey(3), x_test)
         rows[f"model_{name}_sde"]["bpd_test"] = round(float(np.mean(np.asarray(bpd))), 4)
 
+    # -- checked orderings with CI margins (VERDICT r3 weak #6) -------------
+    # an ordering "lhs < rhs" is SEPARATED when the CIs don't overlap:
+    # margin = rhs_ci_lo - lhs_ci_hi > 0
+    def _ci(name, key="fid_train"):
+        row = rows[name]
+        if f"{key}_ci95" in row:
+            return row[f"{key}_ci95"]
+        v = row.get(key)
+        return [v, v] if v is not None else None
+
+    trained = ["model_A_sde", "model_B_sde", "joint_or_sde", "joint_or_ode",
+               "joint_avg_sde", "pool_mixed_baseline"]
+
+    def check(claim, lhs_hi, rhs_lo):
+        m = round(rhs_lo - lhs_hi, 3)
+        return {"claim": claim, "separated": bool(m > 0), "margin": m}
+
+    orderings = [
+        check(
+            "sanity_train_subset << every generated row",
+            _ci("sanity_train_subset")[1],
+            min(_ci(n)[0] for n in trained),
+        ),
+        check(
+            "every trained row << sanity_noise",
+            max(_ci(n)[1] for n in trained),
+            _ci("sanity_noise")[0],
+        ),
+        check(
+            "every trained row << untrained model",
+            max(_ci(n)[1] for n in trained),
+            _ci("untrained_model_sde")[0],
+        ),
+        check(
+            "joint OR SDE <= worst single model (comparable-or-better)",
+            _ci("joint_or_sde")[1],
+            max(_ci("model_A_sde")[1], _ci("model_B_sde")[1]),
+        ),
+    ]
+    fld_gen = [n for n in fld_rows if "fld_ci95" in rows.get(n, {})]
+    if fld_gen and "fld_ci95" in rows["sanity_noise"]:
+        orderings.append(check(
+            "fld: every generated row << sanity_noise",
+            max(_ci(n, "fld")[1] for n in fld_gen),
+            _ci("sanity_noise", "fld")[0],
+        ))
+
     report = {
         "protocol": "evals.ipynb cells 5/8/10/11/15 analog",
         "stand_ins": {
@@ -225,13 +301,12 @@ def main():
         "train_iters": args.iters,
         "n_samples": args.n_samples,
         "rows": rows,
-        "orderings_expected": [
-            "sanity_train_subset << all generated",
-            "sanity_noise >> all trained models",
-            "untrained_model >> trained models",
-            "joint compositions comparable to single models",
-            "fld: sanity_noise >> every generated row (BASELINE.md FLD table scale)",
-        ],
+        "orderings_checked": orderings,
+        "ordering_note": (
+            "separated = 95% CIs do not overlap (FID: 16-resample bootstrap "
+            "over the generated pool; FLD: t(2) interval over 3 repeats); "
+            "margin in metric units"
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

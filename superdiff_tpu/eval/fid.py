@@ -51,6 +51,56 @@ def fid_from_features(ref_feats: np.ndarray, gen_feats: np.ndarray) -> float:
     return frechet_distance(m1, c1, m2, c2)
 
 
+def fid_bootstrap(
+    ref_feats: np.ndarray,
+    gen_feats: np.ndarray,
+    n_boot: int = 16,
+    seed: int = 0,
+) -> dict:
+    """FID with a bootstrap 95% CI over the *generated* sample
+    (VERDICT r3 weak #6: at n=1024 FID carries several points of sampling
+    noise, so ordering claims need margins).
+
+    The reference set is held fixed (it is the larger, common side of
+    every comparison); each bootstrap resamples ``gen_feats`` with
+    replacement.  Cost per resample is one covariance + one symmetric
+    eigendecomposition instead of a non-symmetric ``sqrtm``:
+    with ``A = C1^{1/2}`` precomputed once,
+    ``tr sqrtm(C1 C2) = tr sqrtm(A C2 A) = sum sqrt(eigvalsh(A C2 A))``
+    (similarity ``C1 C2 = A (A C2 A) A^{-1}`` — same spectrum, and
+    ``A C2 A`` is SPD).
+
+    Returns ``{"value", "boot_mean", "boot_std", "ci95": [lo, hi]}`` where
+    ``value`` is the plain full-sample FID (identical to
+    :func:`fid_from_features`) and the CI is the percentile interval of
+    the bootstrap replicates.
+    """
+    rng = np.random.default_rng(seed)
+    mu1, c1 = feature_statistics(ref_feats)
+    a = matrix_sqrt_spd(c1)
+    tr_c1 = float(np.trace(c1))
+
+    def fd(g: np.ndarray) -> float:
+        mu2, c2 = feature_statistics(g)
+        diff = mu1 - mu2
+        ev = np.linalg.eigvalsh(a @ c2 @ a)
+        tr_sqrt = np.sqrt(np.clip(ev, 0.0, None)).sum()
+        return float(diff @ diff + tr_c1 + np.trace(c2) - 2.0 * tr_sqrt)
+
+    value = fd(gen_feats)
+    n = len(gen_feats)
+    boots = np.array(
+        [fd(gen_feats[rng.integers(0, n, n)]) for _ in range(n_boot)]
+    )
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    return {
+        "value": value,
+        "boot_mean": float(boots.mean()),
+        "boot_std": float(boots.std(ddof=1)),
+        "ci95": [float(lo), float(hi)],
+    }
+
+
 def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]:
     """IS from class logits: exp(E KL(p(y|x) || p(y)))."""
     probs = np.exp(logits - logits.max(-1, keepdims=True))

@@ -24,6 +24,24 @@ def test_fid_mean_shift_equals_squared_distance():
     np.testing.assert_allclose(f, 8 * 4.0, rtol=0.02)
 
 
+def test_fid_bootstrap_matches_plain_fid_and_separates():
+    """fid_bootstrap: value identical to fid_from_features (eigvalsh trick
+    vs sqrtm), CI covers the value, and distinct distributions give
+    non-overlapping CIs while a re-draw of the same distribution overlaps."""
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(4000, 24))
+    same = rng.normal(size=(1000, 24))
+    far = rng.normal(size=(1000, 24)) + 1.0
+    b_same = fid.fid_bootstrap(ref, same, n_boot=16)
+    b_far = fid.fid_bootstrap(ref, far, n_boot=16)
+    np.testing.assert_allclose(
+        b_same["value"], fid.fid_from_features(ref, same), rtol=1e-6, atol=1e-8
+    )
+    assert b_far["ci95"][0] > b_same["ci95"][1]  # separated: shift >> noise
+    assert b_far["ci95"][0] < b_far["value"] < b_far["ci95"][1] * 1.5
+    assert b_same["boot_std"] > 0
+
+
 def test_inception_score_bounds():
     rng = np.random.default_rng(0)
     # confident, diverse predictions -> high IS; uniform -> 1.0
@@ -210,3 +228,182 @@ def test_fld_rotation_invariance():
     f0 = fld_mod.fld(gen, train, test, n_steps=80)
     f1 = fld_mod.fld(gen @ q, train @ q, test @ q, n_steps=80)
     np.testing.assert_allclose(f0, f1, rtol=1e-4, atol=1e-5)
+
+
+def _hinge_pair(n=100, n_a=70, angle=1.0, seed=0):
+    """Two-domain backbone pair: identical chain, second domain rotated
+    about the hinge residue — the case where the RMSD-optimal (Kabsch)
+    superposition measurably UNDERSTATES the TM-score (it compromises
+    between domains instead of locking onto the larger one)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(size=(n, 3))
+    steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    for i in range(1, n):  # correlate directions into a chain-like path
+        v = 0.7 * steps[i - 1] + 0.3 * steps[i]
+        steps[i] = v / np.linalg.norm(v)
+    P = np.cumsum(3.8 * steps, 0)
+    Rb = Rotation.from_rotvec(angle * np.array([0.0, 0.0, 1.0])).as_matrix()
+    Q = P.copy()
+    Q[n_a:] = (P[n_a:] - P[n_a]) @ Rb.T + P[n_a]
+    return P, Q
+
+
+def _tm_brute_force(P, Q):
+    """Reference TM-optimal superposition: Nelder-Mead over (rotvec, t)
+    from domain-fit + random starts. Stands in for tmtools' TM-align
+    (absent in this image) at fixed identity correspondence."""
+    from scipy.optimize import minimize
+    from scipy.spatial.transform import Rotation
+
+    d0 = struct_metrics._d0(len(P))
+
+    def neg(x):
+        R = Rotation.from_rotvec(x[:3]).as_matrix()
+        d2 = (((P @ R.T + x[3:]) - Q) ** 2).sum(-1)
+        return -np.mean(1.0 / (1.0 + d2 / d0**2))
+
+    starts = []
+    for sl in (slice(None), slice(0, 70), slice(70, None), slice(25, 75)):
+        R, t = struct_metrics.kabsch(P[sl], Q[sl])
+        starts.append(np.concatenate([Rotation.from_matrix(R).as_rotvec(), t]))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        starts.append(np.concatenate([rng.normal(size=3), rng.normal(size=3) * 5]))
+    best = 0.0
+    for s in starts:
+        r = minimize(neg, s, method="Nelder-Mead",
+                     options={"maxiter": 4000, "xatol": 1e-6, "fatol": 1e-10})
+        best = max(best, -r.fun)
+    return best
+
+
+def test_tm_score_beats_kabsch_on_hinges():
+    """On hinge-bent pairs the iterative TM-score must exceed the Kabsch
+    lower bound by a real margin (VERDICT r3: near scTM~0.5 the Kabsch
+    bound biased the designability headline downward)."""
+    gaps = []
+    for seed, angle, n_a in [(0, 1.0, 70), (1, 1.6, 60), (2, 0.8, 75)]:
+        P, Q = _hinge_pair(seed=seed, angle=angle, n_a=n_a)
+        k = struct_metrics.tm_score_kabsch(P, Q)
+        o = struct_metrics.tm_score(P, Q)
+        assert o >= k - 1e-12  # never worse than the bound
+        gaps.append(o - k)
+    assert max(gaps) > 0.2  # the seed=1 pair crosses the 0.5 threshold
+    assert min(gaps) > 0.01
+
+
+def test_tm_score_matches_brute_force_optimum():
+    """tm_score within 0.01 of the scipy brute-force TM-optimal
+    superposition on constructed hinge pairs (the tmtools stand-in;
+    measured gaps are ~2e-4)."""
+    for seed, angle, n_a in [(0, 1.0, 70), (1, 1.6, 60)]:
+        P, Q = _hinge_pair(seed=seed, angle=angle, n_a=n_a)
+        o = struct_metrics.tm_score(P, Q)
+        b = _tm_brute_force(P, Q)
+        assert abs(o - b) < 0.01, (o, b)
+
+
+def test_tm_score_kabsch_is_lower_bound_on_random_pairs():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        P = np.cumsum(rng.normal(size=(60, 3)), 0) * 2
+        Q = P + rng.normal(size=P.shape) * rng.uniform(0.5, 4.0)
+        assert (struct_metrics.tm_score(P, Q)
+                >= struct_metrics.tm_score_kabsch(P, Q) - 1e-12)
+
+
+def test_tm_score_identity_rigid_transform():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(4)
+    P = np.cumsum(rng.normal(size=(40, 3)), 0) * 2
+    R = Rotation.from_rotvec([0.4, -1.1, 0.2]).as_matrix()
+    Q = P @ R.T + np.array([5.0, -2.0, 1.0])
+    assert struct_metrics.tm_score(P, Q) > 0.9999
+
+
+def test_bpd_dopri5_matches_analytic_gaussian():
+    """The adaptive Dopri5 path (the reference's diffrax integrator,
+    ``cifar/eval_utils.py:30-37``) reproduces the analytic Gaussian BPD
+    and reports a plausible adaptive NFE."""
+    sched = VPSchedule()
+    s, d = 0.5, 4
+
+    def score_apply(t, x):
+        a, sig = sched.alpha(t), sched.sigma(t)
+        return -sig * x / (a**2 * s**2 + sig**2)
+
+    est = bpd.make_bpd_estimator(score_apply, sched, method="dopri5", t_0=1e-4)
+    x0 = s * jax.random.normal(jax.random.PRNGKey(0), (256, d))
+    val, nfe = jax.jit(est)(jax.random.PRNGKey(1), x0)
+    expect = 0.5 * np.log2(2 * np.pi * np.e * s**2) + 7.0
+    np.testing.assert_allclose(float(val), expect, rtol=0.02)
+    assert 30 < int(nfe) < 4096 * 6
+
+
+def _train_toy_score_net(n_iters=400, dim=2):
+    from superdiff_tpu.core import make_dsm_loss
+    from superdiff_tpu.models import MLPScoreNet
+    from superdiff_tpu.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    sched = VPSchedule()
+    key = jax.random.PRNGKey(7)
+    model = MLPScoreNet(hidden=(64, 64), out_dim=dim)
+    params = model.init(key, jnp.zeros((1, 1)), jnp.zeros((1, dim)))["params"]
+
+    def apply_fn(p, t, x, y=None, rng=None):
+        return model.apply({"params": p}, t, x)
+
+    loss_fn = make_dsm_loss(apply_fn, sched, t_0=1e-3)
+    opt = make_optimizer(lr=2e-3, warmup=50)
+    state = init_train_state(key, params, opt, ema_rate=0.99)
+    step = make_train_step(opt, loss_fn, donate=False)
+
+    @jax.jit
+    def data(k):
+        # bimodal: the score net is genuinely non-Gaussian
+        k1, k2 = jax.random.split(k)
+        sign = jnp.where(jax.random.bernoulli(k1, 0.5, (256, 1)), 1.0, -1.0)
+        return sign * 1.5 + 0.3 * jax.random.normal(k2, (256, dim))
+
+    for i in range(n_iters):
+        state, _ = step(state, {"image": data(jax.random.fold_in(key, i))})
+
+    def score_apply(t, x):
+        return model.apply({"params": state.params}, t, x)
+
+    return score_apply, data, sched
+
+
+def test_bpd_rk4_step_count_adequacy():
+    """VERDICT r3 #7: on a *trained* toy score net, the fixed-grid RK4 BPD
+    at the pinned default (n_steps=100) must agree with the adaptive
+    Dopri5-at-1e-5 reference to well under the smallest gap in
+    BASELINE.md's BPD table (0.08 bits/dim between model B 3.52 and joint
+    3.44) — and the RK4 values must converge monotonically toward the
+    adaptive reference as the grid refines (full sweep:
+    ``scripts/bpd_sweep.py`` -> BENCH_DETAIL.json)."""
+    score_apply, data, sched = _train_toy_score_net()
+    x0 = np.asarray(data(jax.random.PRNGKey(99)))
+    key = jax.random.PRNGKey(5)
+
+    ref_est = bpd.make_bpd_estimator(
+        score_apply, sched, method="dopri5", rtol=1e-5, atol=1e-5, t_0=1e-4
+    )
+    ref, _ = jax.jit(ref_est)(key, x0)
+    ref = float(ref)
+
+    vals = {}
+    for n in (12, 25, 100):
+        est = bpd.make_bpd_estimator(score_apply, sched, n_steps=n, t_0=1e-4)
+        v, _ = jax.jit(est)(key, x0)  # same key: identical Hutchinson probe
+        vals[n] = float(v)
+
+    assert abs(vals[100] - ref) < 1e-3, (vals, ref)
+    assert abs(vals[25] - ref) <= abs(vals[12] - ref) + 1e-6, (vals, ref)
