@@ -53,6 +53,18 @@ def _proj_conv_or_lin(w):
     return _lin(w[:, :, 0, 0]) if w.ndim == 4 else _lin(w)
 
 
+def _geglu_kernel(w):
+    # diffusers packs (value|gate) along the output dim: (2F, C) torch ->
+    # (C, 2F) flax -> (C, 2, F) stacked (free row-major view; see
+    # models/sd/unet._GEGLUProjParams for why the stacked layout exists).
+    k = _lin(w)
+    return k.reshape(k.shape[0], 2, k.shape[1] // 2)
+
+
+def _geglu_bias(b):
+    return b.reshape(2, b.shape[0] // 2)
+
+
 def _set(params, path: str, value: np.ndarray):
     keys = path.split("/")
     node = params
@@ -105,8 +117,8 @@ def _attn_entries(dst: str, src: str):
             (f"{blk}/norm{i}/bias", f"{tb}.norm{i}.bias", None),
         ]
     out += [
-        (f"{blk}/ff_geglu/proj/kernel", f"{tb}.ff.net.0.proj.weight", _lin),
-        (f"{blk}/ff_geglu/proj/bias", f"{tb}.ff.net.0.proj.bias", None),
+        (f"{blk}/ff_geglu/proj/kernel", f"{tb}.ff.net.0.proj.weight", _geglu_kernel),
+        (f"{blk}/ff_geglu/proj/bias", f"{tb}.ff.net.0.proj.bias", _geglu_bias),
         (f"{blk}/ff_out/kernel", f"{tb}.ff.net.2.weight", _lin),
         (f"{blk}/ff_out/bias", f"{tb}.ff.net.2.bias", None),
     ]

@@ -118,7 +118,18 @@ class CrossAttention(nn.Module):
         wk, = _KernelParams(ctx_dim, inner, name="to_k")()
         wv, = _KernelParams(ctx_dim, inner, name="to_v")()
         xc = x.astype(self.dtype)
-        if context is None:
+        if self.attn_impl == "einsum":
+            # The einsum lowering is the tensor-parallel path
+            # (parallel/tp.py): separate matmuls keep each column-sharded
+            # projection a clean Megatron column-parallel op. The packed
+            # concat's qkv split forced GSPMD to insert 7 collective-
+            # permutes per self-attention (measured; tests/test_tp.py
+            # collective-count pin).
+            ctx = xc if context is None else context.astype(self.dtype)
+            q = xc @ wq.astype(self.dtype)
+            k = ctx @ wk.astype(self.dtype)
+            v = ctx @ wv.astype(self.dtype)
+        elif context is None:
             qkv = xc @ jnp.concatenate(
                 [wq, wk, wv], axis=1
             ).astype(self.dtype)
@@ -148,14 +159,23 @@ class CrossAttention(nn.Module):
 
 
 class GEGLU(nn.Module):
+    """``v * gelu(g)`` with a stacked (C, 2, F) projection kernel.
+
+    Exact (erf) gelu: diffusers' GEGLU applies ``F.gelu`` with its erf
+    default (the reference model is ``CompVis/stable-diffusion-v1-4``,
+    driven at ``applications/images/clip_eval.py:29-43``), so converted
+    real checkpoints see the same nonlinearity."""
+
     dim_out: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        w, b = _GEGLUProjParams(x.shape[-1], self.dim_out, name="proj")()
+        h = jnp.einsum(
+            "...c,cgf->...gf", x.astype(self.dtype), w.astype(self.dtype)
+        ) + b.astype(self.dtype)
+        return h[..., 0, :] * nn.gelu(h[..., 1, :], approximate=False)
 
 
 class _KernelParams(nn.Module):
@@ -197,15 +217,49 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-class _GEGLUParams(nn.Module):
-    """Param-tree twin of :class:`GEGLU` (child Dense named ``proj``)."""
+class _GEGLUProjParams(nn.Module):
+    """GEGLU projection params with value/gate STACKED: kernel
+    (C, 2, F), bias (2, F) — axis 1 indexes (value, gate).
+
+    Bytes identical to diffusers' packed (C, 2F) layout (a free row-major
+    reshape; ``models/sd/convert.py`` reshapes on load, and the fused
+    Pallas kernel consumes the flat view via ``.reshape``). The stacked
+    shape exists for tensor parallelism: a ``P(None, None, 'tp')`` sharding
+    keeps each device's value/gate slices aligned, whereas sharding the
+    packed 2F axis forced GSPMD to all-gather the whole (M, 2F) FFN hidden
+    per block (measured; tests/test_tp.py pins the collective counts).
+    Init draws are bit-identical to the former ``nn.Dense(2F)`` kernel."""
 
     in_features: int
-    features: int
+    hidden: int  # F
 
     @nn.compact
     def __call__(self) -> Tuple[Array, Array]:
-        return _DenseParams(self.in_features, self.features, name="proj")()
+        def kinit(key, shape, dtype):
+            c, two, f = shape
+            flat = nn.initializers.lecun_normal()(key, (c, two * f), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param(
+            "kernel", kinit, (self.in_features, 2, self.hidden), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (2, self.hidden), jnp.float32
+        )
+        return kernel, bias
+
+
+class _GEGLUParams(nn.Module):
+    """Param-tree twin of :class:`GEGLU` (child module named ``proj``)."""
+
+    in_features: int
+    features: int  # 2F
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        return _GEGLUProjParams(
+            self.in_features, self.features // 2, name="proj"
+        )()
 
 
 class _LayerNormParams(nn.Module):
@@ -265,9 +319,14 @@ class TransformerBlock(nn.Module):
             gamma, beta = _LayerNormParams(self.dim, name="norm3")()
             w1, b1 = _GEGLUParams(self.dim, 2 * inner, name="ff_geglu")()
             w2, b2 = _DenseParams(inner, self.dim, name="ff_out")()
+            # (C, 2, F) -> (C, 2F): free row-major view; the kernel reads
+            # the value/gate halves via BlockSpec index maps. Exact erf
+            # gelu matches diffusers (see GEGLU docstring).
             x = geglu_ffn_block(
-                x.astype(self.dtype), gamma, beta, w1.astype(self.dtype), b1,
-                w2.astype(self.dtype), b2, eps=1e-5,
+                x.astype(self.dtype), gamma, beta,
+                w1.reshape(self.dim, 2 * inner).astype(self.dtype),
+                b1.reshape(2 * inner),
+                w2.astype(self.dtype), b2, eps=1e-5, approximate=False,
             )
         else:
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)

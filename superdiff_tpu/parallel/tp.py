@@ -6,10 +6,22 @@ over a ``tp`` mesh axis so one latent's forward spans several chips —
 attention projections column-sharded over heads, the attention output
 row-sharded, the GEGLU FFN column/row-sharded over its hidden dim — while
 the conv tier stays replicated (its weights are reused across the batch
-that the ``data`` axis already splits). XLA GSPMD inserts the collectives:
-with the Megatron-style column→row pairing below, each transformer block
-needs exactly one all-reduce after ``to_out`` and one after ``ff_out``,
-riding ICI.
+that the ``data`` axis already splits). XLA GSPMD inserts the collectives.
+Measured from the compiled HLO on an 8-device (data=2, tp=4) mesh
+(``tests/test_tp.py::test_tp_collective_counts`` pins this): each
+transformer block costs exactly **4 activation-sized all-reduces** (after
+the row-parallel ``attn1/to_out``, ``attn2/to_out``, ``ff_out``,
+``proj_out``) plus **3 activation-sized all-gathers** (GSPMD keeps the
+residual stream channel-sharded, computes each pre-LayerNorm shard-local,
+and gathers the normalized (M, C) stream once before each of
+attn1/attn2/ffn) — and no other collective, all riding ICI. Getting here
+required layouts to cooperate: the packed qkv/kv projections and the
+packed (value|gate) GEGLU weight each forced GSPMD reshards (7
+collective-permutes per self-attention; a full (M, 2F) all-gather of the
+FFN hidden — both measured before the fix), so the einsum lowering
+unpacks qkv and the GEGLU kernel is stored value/gate-STACKED as
+(C, 2, F) (``models/sd/unet._GEGLUProjParams``) so a last-axis shard
+keeps each device's value/gate slices aligned.
 
 Works on the **einsum lowering** (``SDUNetConfig(attn_impl='einsum',
 ffn_impl='einsum')``): GSPMD propagates through plain dots/einsums; the
@@ -19,8 +31,8 @@ path and single-chip throughput uses the kernels — selected per run by the
 same config flag.
 
 Head-count divisibility: SD-1.x has 8 attention heads; tp in {2, 4, 8}
-keeps head groups whole. The GEGLU split(2F -> F, F) halves are each
-divisible by tp as well (F = 4C, C a multiple of 64).
+keeps head groups whole. The GEGLU hidden axis F = 4C (C a multiple of
+64) is divisible by tp as well.
 """
 
 from __future__ import annotations
@@ -38,8 +50,10 @@ _TP_RULES = (
     # attention: column-parallel qkv (shards heads), row-parallel out
     (re.compile(r"attn\d/to_[qkv]/kernel$"), P(None, "tp")),
     (re.compile(r"attn\d/to_out/kernel$"), P("tp", None)),
-    # GEGLU FFN: column-parallel in-projection, row-parallel out-projection
-    (re.compile(r"ff_geglu/proj/kernel$"), P(None, "tp")),
+    # GEGLU FFN: column-parallel in-projection (kernel is (C, 2, F),
+    # value/gate stacked on axis 1 — shard the hidden F axis so each
+    # device's value/gate slices stay aligned), row-parallel out-projection
+    (re.compile(r"ff_geglu/proj/kernel$"), P(None, None, "tp")),
     (re.compile(r"ff_out/kernel$"), P("tp", None)),
     # per-token projections around the transformer stack
     (re.compile(r"proj_in/kernel$"), P(None, "tp")),

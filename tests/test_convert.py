@@ -39,6 +39,11 @@ def _fake_hf_tensors(params, mapping):
             val = np.random.randn(*target.T.shape)
         elif tf is convert._proj_conv_or_lin:
             val = np.random.randn(*target.T.shape)  # linear layout branch
+        elif tf is convert._geglu_kernel:
+            c, two, f = target.shape  # flax (C, 2, F) <- hf (2F, C)
+            val = np.random.randn(two * f, c)
+        elif tf is convert._geglu_bias:
+            val = np.random.randn(target.shape[0] * target.shape[1])
         else:
             val = np.random.randn(*target.shape)
         tensors[src] = val.astype(np.float32)

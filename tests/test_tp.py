@@ -115,3 +115,39 @@ def test_tp_full_composition_sampler_matches_replicated():
         np.asarray(traces["kappa"]), np.asarray(ref_traces["kappa"]),
         rtol=5e-4, atol=5e-4,
     )
+
+
+def test_tp_collective_counts():
+    """Pin the GSPMD-inserted collectives of the TP forward (the perf
+    contract stated in parallel/tp.py): per transformer block exactly
+    4 all-reduces (row-parallel to_out x2, ff_out, proj_out) and
+    3 all-gathers (the channel-sharded pre-LN stream gathered before
+    attn1/attn2/ffn), zero collective-permutes. The packed qkv / packed
+    (value|gate) GEGLU layouts this repo used before round 4 cost 240
+    collective-permutes + a full FFN-hidden all-gather on the same model;
+    a regression here means a layout change broke GSPMD propagation."""
+    import re
+    from collections import Counter
+
+    unet, params, x, ctx = _tiny_unet()
+    mesh = make_tp_mesh(data=2, tp=4)
+    params_tp = place_tp(params, mesh)
+    data_in = NamedSharding(mesh, P("data"))
+
+    fwd = jax.jit(lambda p, xx, cc: unet.apply(
+        {"params": p}, xx, jnp.float32(500.0), cc))
+    hlo = fwd.lower(
+        params_tp, jax.device_put(x, data_in), jax.device_put(ctx, data_in)
+    ).compile().as_text()
+    cnt = Counter()
+    for line in hlo.splitlines():
+        m = re.search(
+            r"= (?:\S+ )?(all-reduce|all-gather|reduce-scatter"
+            r"|collective-permute|all-to-all)(?:-start)?\(", line)
+        if m:
+            cnt[m.group(1)] += 1
+    n_blocks = 16  # tiny topology: 6 down + 1 mid + 9 up spatial transformers
+    assert cnt["all-reduce"] == 4 * n_blocks, cnt
+    assert cnt["all-gather"] == 3 * n_blocks, cnt
+    assert cnt["collective-permute"] == 0, cnt
+    assert cnt["all-to-all"] == 0, cnt
