@@ -53,9 +53,12 @@ def _tunnel_alive() -> bool:
 
 
 def main():
-    import os
-
-    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" and not _tunnel_alive():
+    # Always probe when the pool endpoint is configured: JAX_PLATFORMS=cpu as
+    # an env var is IGNORED by the pinned axon plugin (CLAUDE.md) — such a run
+    # still attaches to the chip, so skipping the probe on the env var would
+    # reintroduce the silent-hang failure the probe exists to prevent. This
+    # script never forces CPU in-process, so the probe is unconditional.
+    if not _tunnel_alive():
         _log("TPU tunnel relay is not listening — cannot reach the chip")
         print(json.dumps({
             "metric": "superdiff_sd_or_2model_512px_50step_throughput",

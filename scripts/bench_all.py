@@ -174,8 +174,18 @@ def main():
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             log(f"{name} FAILED: {e}")
+    # merge-don't-overwrite: BENCH_DETAIL.json also carries entries owned
+    # by other scripts (trace_unet, bpd_sweep, kernel sweeps)
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(json.dumps(results))
 
 
