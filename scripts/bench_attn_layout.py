@@ -11,6 +11,9 @@ in the HLO) plus the inverse transpose on the output. Candidates:
      in the permuted layout, killing the separate transpose op)
   c) out-side only: attention output consumed as (B,H,L,D) by
      einsum('bhld,hdc->blc') into to_out (kills the 4th transpose).
+  d) packed + native_long_kv kernel: the transpose-free packed-layout
+     Pallas path at kv=4096 (zero layout copies end to end; small q
+     blocks bound the unrolled per-head score tiles).
 
 Run on the real chip:  python scripts/bench_attn_layout.py
 """
@@ -93,9 +96,19 @@ def main():
         o = _flash_impl(q, k, v, D**-0.5, 512, L, False)  # (B,H,L,D)
         return jnp.einsum("bhld,hdc->blc", o, wo.reshape(H, D, C))
 
+    def attn_packed_native(x):
+        qkv = x @ wqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, D)
+        k = k.reshape(B, L, H, D)
+        v = v.reshape(B, L, H, D)
+        o = flash_mha(q, k, v, native_long_kv=True)
+        return o.reshape(B, L, C) @ wo
+
     timeit("a) packed + transposes (current)", scan(attn_packed), x)
     timeit("b) einsum layout-out projections", scan(attn_einsum_layout), x)
     timeit("c) packed + out-side einsum", scan(attn_packed_outeinsum), x)
+    timeit("d) packed + native_long_kv kernel", scan(attn_packed_native), x)
 
 
 if __name__ == "__main__":

@@ -144,10 +144,15 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, head_dim)
         k = k.reshape(b, lk, self.heads, head_dim)
         v = v.reshape(b, lk, self.heads, head_dim)
-        if self.attn_impl == "flash":
+        if self.attn_impl in ("flash", "flash_nat"):
             from ...ops.pallas.flash_attention import flash_mha
 
-            out = flash_mha(q, k, v)
+            # 'flash_nat' opts the long-kv self-attention into the
+            # transpose-free packed-layout kernel path (pending hardware
+            # measurement; scripts/bench_attn_layout.py candidate (d))
+            out = flash_mha(
+                q, k, v, native_long_kv=self.attn_impl == "flash_nat"
+            )
         elif self.attn_impl == "dpa":
             out = jax.nn.dot_product_attention(q, k, v)
         else:

@@ -242,41 +242,69 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
     )(q, k, v)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, sm_scale, block_q, block_k, interpret):
+def _flash_nat_packed(q, k, v, scale, block_q, interpret):
+    """Native-layout single-kv-block path on packed (B, L, H*D) views —
+    ZERO transposes for any kv length that fits one block.
+
+    The short-kv dispatch below uses this with the full q row; for long kv
+    (4096-token self-attention) the per-head score tiles are (block_q, lk)
+    fp32 and the heads are unrolled in Python (lane slices must be static),
+    so ``block_q`` stays small (default 64: 8 heads x 64x4096x4 B = 8 MB
+    worst-case if Mosaic stacks the unrolled buffers, ~1 MB with liveness
+    reuse) to keep the stacked worst case inside VMEM. K/V block indices
+    depend only on b, so Pallas fetches them once per batch row — HBM
+    traffic is exactly one pass over Q/K/V/O, eliminating the 4
+    layout-copy ops per layer (``convolution_bitcast_fusion`` in the
+    trace, ~10 ms/forward at batch 24) that the (B, H, L, D) kernels
+    force."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    q3 = q.reshape(b, lq, h * d)
+    k3 = k.reshape(b, lk, h * d)
+    v3 = v.reshape(b, lk, h * d)
+    n_q = lq // block_q
+    out = pl.pallas_call(
+        functools.partial(_kernel_mh_nat, heads=h, head_dim=d, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out.reshape(b, lq, h, d)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, sm_scale, block_q, block_k, interpret, native_long_kv):
     b, lq, h, d = q.shape
     lk = k.shape[1]
     scale = float(sm_scale * _LOG2_E)
+    if native_long_kv and block_k == lk:
+        # opt-in: the transpose-free packed path at ANY single-block kv
+        # length (unmeasured on hardware until scripts/bench_attn_layout.py
+        # runs; candidate (d) there). Small q blocks bound the unrolled
+        # per-head score tiles.
+        bq = block_q if lk <= 256 else min(64, block_q)
+        while lq % bq:
+            bq //= 2
+        if bq >= 8:
+            return _flash_nat_packed(q, k, v, scale, bq, interpret)
     if block_k == lk and lk <= 256:
         # short kv (cross-attention kv=77, 16x16/8x8 self levels): the
         # native-layout all-heads kernel on packed (B, L, H*D) views
         # (reshape is a free bitcast; no transposes). Mosaic requires lane
         # blocks to be 128-multiples or the full dim, so per-head lane
         # slicing (head_dim 40) is only legal with the full H*D block —
-        # which bounds this path to short kv, where the per-head score
-        # tiles of the unrolled head loop stay small.
-        q3 = q.reshape(b, lq, h * d)
-        k3 = k.reshape(b, lk, h * d)
-        v3 = v.reshape(b, lk, h * d)
-        n_q = lq // block_q
-        out = pl.pallas_call(
-            functools.partial(
-                _kernel_mh_nat, heads=h, head_dim=d, scale=scale,
-            ),
-            out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
-            grid=(b, n_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, lk, h * d), lambda b, i: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, h * d), lambda b, i: (b, i, 0)),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(q3, k3, v3)
-        return out.reshape(b, lq, h, d)
+        # here the per-head score tiles of the unrolled head loop stay
+        # small at the full-row q block.
+        return _flash_nat_packed(q, k, v, scale, block_q, interpret)
     out = _flash_impl(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
         sm_scale, block_q, block_k, interpret,
@@ -285,7 +313,8 @@ def _flash(q, k, v, sm_scale, block_q, block_k, interpret):
 
 
 @_flash.defjvp
-def _flash_jvp(sm_scale, block_q, block_k, interpret, primals, tangents):
+def _flash_jvp(sm_scale, block_q, block_k, interpret, native_long_kv,
+               primals, tangents):
     """Forward-mode via the einsum reference (the ODE Itô estimator jvp's
     through the UNet; flash primitives have no native tangent rule)."""
     return jax.jvp(lambda q, k, v: _reference(q, k, v, sm_scale), primals, tangents)
@@ -300,6 +329,7 @@ def flash_mha(
     block_q: int | None = None,
     block_k: int | None = None,
     interpret: bool | None = None,
+    native_long_kv: bool = False,
 ) -> Array:
     """Multi-head attention ``softmax(q k^T * sm_scale) v``, (B, L, H, D).
 
@@ -312,6 +342,13 @@ def flash_mha(
     path. Falls back to the einsum reference when the sequence doesn't
     tile (block_q < 8, or a non-full kv block < 128 lanes) or when
     running off-TPU without ``interpret``.
+
+    ``native_long_kv=True`` (opt-in, pending hardware measurement —
+    ``scripts/bench_attn_layout.py`` candidate (d)) extends the
+    transpose-free packed-layout path to ANY kv that fits one block
+    (e.g. the 4096-token self-attention), with small q blocks bounding
+    the unrolled per-head score tiles. Bit-identical math to the
+    transposed kernels (same per-head tile ops).
     """
     b, lq, h, d = q.shape
     lk = k.shape[1]
@@ -340,4 +377,5 @@ def flash_mha(
         block_k //= 2
     if block_q < 8 or (block_k < 128 and block_k != lk):
         return _reference(q, k, v, sm_scale)
-    return _flash(q, k, v, sm_scale, block_q, block_k, interpret)
+    return _flash(q, k, v, sm_scale, block_q, block_k, interpret,
+                  native_long_kv)

@@ -129,6 +129,23 @@ def test_flash_attention_single_block_kernel():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_flash_attention_native_long_kv_kernel():
+    """native_long_kv=True routes long single-block kv through the
+    transpose-free packed-layout kernel (small q blocks, unrolled heads);
+    must match the reference and the default transposed path exactly."""
+    from superdiff_tpu.ops.pallas.flash_attention import _reference, flash_mha
+
+    b, l, h, d = 1, 512, 4, 40
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks)
+    out = flash_mha(q, k, v, native_long_kv=True, interpret=True)
+    ref = _reference(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # same per-head tile math as the transposed kernel -> bit-identical
+    base = flash_mha(q, k, v, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
 def test_flash_attention_jvp_matches_reference_jvp():
     """The ODE Ito estimator jvp's through the UNet; the custom_jvp rule must
     agree with forward-mode through the einsum path."""
@@ -214,6 +231,23 @@ def test_sd_transformer_block_fused_ffn_matches_einsum():
     of = fused.apply({"params": pf}, x, ctx)
     op = plain.apply({"params": pf}, x, ctx)
     np.testing.assert_allclose(np.asarray(of), np.asarray(op), rtol=2e-4, atol=2e-4)
+
+
+def test_sd_transformer_block_flash_nat_matches_flash():
+    """attn_impl='flash_nat' (transpose-free long-kv packed kernel) threads
+    through the TransformerBlock and matches the default flash path on a
+    long self-attention row (512 tokens > the 256 short-kv cutoff)."""
+    from superdiff_tpu.models.sd.unet import TransformerBlock
+
+    key = jax.random.PRNGKey(14)
+    x = jax.random.normal(key, (1, 512, 32), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(15), (1, 7, 16), jnp.float32)
+    nat = TransformerBlock(32, 4, 16, dtype=jnp.float32, attn_impl="flash_nat")
+    base = TransformerBlock(32, 4, 16, dtype=jnp.float32, attn_impl="flash")
+    p = base.init(key, x, ctx)["params"]
+    on = nat.apply({"params": p}, x, ctx)
+    ob = base.apply({"params": p}, x, ctx)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(ob), rtol=2e-5, atol=2e-5)
 
 
 def test_geglu_ffn_block_matches_reference():
