@@ -27,6 +27,8 @@ FFN_IMPL = sys.argv[2] if len(sys.argv) > 2 else "fused"
 # 3rd arg: attention impl ('flash' default; 'flash_nat' = the transpose-free
 # packed-layout long-kv kernel, bench_attn_layout.py candidate (d))
 ATTN_IMPL = sys.argv[3] if len(sys.argv) > 3 else "flash"
+# 4th arg: upsampler ('repeat' default; 'subpixel' = fused 2x2x4F conv)
+UPSAMPLE_IMPL = sys.argv[4] if len(sys.argv) > 4 else "repeat"
 K = 10
 LOGDIR = "/tmp/trace_unet"
 
@@ -39,7 +41,9 @@ def main():
     from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
 
     key = jax.random.PRNGKey(0)
-    unet = SDUNet(SDUNetConfig(ffn_impl=FFN_IMPL, attn_impl=ATTN_IMPL))
+    unet = SDUNet(SDUNetConfig(
+        ffn_impl=FFN_IMPL, attn_impl=ATTN_IMPL, upsample_impl=UPSAMPLE_IMPL,
+    ))
     lat = jax.random.normal(key, (B, 64, 64, 4), jnp.bfloat16)
     ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
     params = jax.jit(unet.init)(key, lat[:1, :8, :8], jnp.zeros(()), ctx[:1])["params"]

@@ -69,6 +69,12 @@ class SDUNetConfig:
     # audit, where Pallas custom calls are invisible to cost_analysis).
     attn_impl: str = "flash"
     ffn_impl: str = "fused"
+    # 'repeat' = nearest-2x repeat + 3x3 conv (the diffusers Upsample2D
+    # semantics, literally); 'subpixel' = the same map algebraically fused
+    # into one 2x2x(4*C_out) conv on the SMALL grid + phase interleave
+    # (4/9 the FLOPs, no upsampled intermediate in HBM) — see
+    # SubpixelUpsample. Opt-in pending on-chip measurement.
+    upsample_impl: str = "repeat"
 
     @staticmethod
     def tiny() -> "SDUNetConfig":
@@ -387,6 +393,69 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class SubpixelUpsample(nn.Module):
+    """Nearest-2x upsample + 3x3 SAME conv, fused into a single 2x2 conv on
+    the small grid plus a phase interleave.
+
+    With nearest upsampling ``U[p, q] = x[p//2, q//2]``, the 3x3 window of
+    output pixel ``(2i+di, 2j+dj)`` only ever touches TWO distinct source
+    rows/cols per axis, so each of the 4 phases reduces to a 2x2 conv whose
+    taps are sums of the original 3x3 taps: per axis, phase 0 combines rows
+    as ``[[1,0,0],[0,1,1]]`` (offset -1 alone; offsets 0 and +1 both read
+    ``x[i]``) and phase 1 as ``[[1,1,0],[0,0,1]]``. All 4 phase kernels run
+    as ONE conv with 4x the output channels at padding (1,1) (phase d reads
+    conv output index ``i+d``), so the MXU matmul keeps its full N width.
+
+    Cost: 16 vs 36 MACs per output pixel (2.25x fewer FLOPs) and the
+    (2H, 2W, C) upsampled intermediate never exists in HBM. Bitwise it
+    differs from the unfused form only in summing weight taps (fp32, cast
+    once) before the multiply instead of summing products.
+
+    Params are named/shaped identically to the ``nn.Conv`` it replaces
+    ((3,3,C,F) ``kernel`` + ``bias``), so converted diffusers checkpoints
+    (``models/sd/convert.py``) load unchanged. Behavior target: the
+    torch Upsample2D interpolate+conv inside the UNet the reference drives
+    (applications/images/clip_eval.py:55's diffusers pipeline)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        f = self.features
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, f), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        m0 = jnp.array([[1, 0, 0], [0, 1, 1]], jnp.float32)
+        m1 = jnp.array([[1, 1, 0], [0, 0, 1]], jnp.float32)
+        ms = jnp.stack([m0, m1])  # (2, 2, 3) [phase, tap, src-offset]
+        # (di, dj, a, b, c, f): phase-combined 2x2 kernels from the 3x3 taps
+        k4 = jnp.einsum("dau,ebv,uvcf->deabcf", ms, ms, kernel)
+        k4 = k4.transpose(2, 3, 4, 0, 1, 5).reshape(2, 2, c, 4 * f)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(bias, 4).astype(self.dtype)
+        b_, h, w = x.shape[0], x.shape[1], x.shape[2]
+        rows = [
+            jnp.stack(
+                [
+                    y[:, di : h + di, dj : w + dj, (2 * di + dj) * f : (2 * di + dj + 1) * f]
+                    for dj in (0, 1)
+                ],
+                axis=3,
+            )
+            for di in (0, 1)
+        ]  # each (B, H, W, 2, F)
+        z = jnp.stack(rows, axis=2)  # (B, H, 2, W, 2, F)
+        return z.reshape(b_, 2 * h, 2 * w, f)
+
+
 class SDUNet(nn.Module):
     """UNet2DConditionModel equivalent: (latents NHWC, t, context) -> eps."""
 
@@ -460,13 +529,20 @@ class SDUNet(nn.Module):
                         attn_impl=cfg.attn_impl, name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i != len(cfg.up_block_types) - 1:
-                # nearest-neighbor 2x upsample as repeat: identical result,
-                # cheaper than jax.image.resize's gather lowering on TPU
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(
-                    out_ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name=f"up_{i}_upsample",
-                )(h)
+                if cfg.upsample_impl == "subpixel":
+                    # fused: 2x2x(4*C) conv on the small grid + interleave
+                    h = SubpixelUpsample(
+                        out_ch, self.dtype, name=f"up_{i}_upsample"
+                    )(h)
+                else:
+                    # nearest-neighbor 2x upsample as repeat: identical
+                    # result, cheaper than jax.image.resize's gather
+                    # lowering on TPU
+                    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                    h = nn.Conv(
+                        out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"up_{i}_upsample",
+                    )(h)
         assert not hs
 
         h = nn.swish(GroupNorm32(name="norm_out")(h))

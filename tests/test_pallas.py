@@ -250,6 +250,55 @@ def test_sd_transformer_block_flash_nat_matches_flash():
     np.testing.assert_allclose(np.asarray(on), np.asarray(ob), rtol=2e-5, atol=2e-5)
 
 
+def test_subpixel_upsample_matches_repeat_conv():
+    """SubpixelUpsample (fused 2x2x4F conv + interleave) vs the literal
+    nearest-repeat + 3x3 SAME conv, same params: identical tree, close
+    output (weights are tap-summed before the multiply, so fp32 rounding
+    only)."""
+    import flax.linen as nn
+    from superdiff_tpu.models.sd.unet import SubpixelUpsample
+
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, (2, 5, 7, 12), jnp.float32)
+    sub = SubpixelUpsample(9, dtype=jnp.float32)
+    conv = nn.Conv(9, (3, 3), padding="SAME", dtype=jnp.float32)
+    ps = sub.init(key, x)["params"]
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    pc = conv.init(key, up)["params"]
+    assert jax.tree.map(jnp.shape, ps) == jax.tree.map(jnp.shape, pc)
+    # non-trivial bias so the tiled-bias path is exercised
+    ps = {"kernel": ps["kernel"], "bias": jnp.arange(9, dtype=jnp.float32)}
+    out = sub.apply({"params": ps}, x)
+    ref = conv.apply({"params": ps}, up)
+    assert out.shape == (2, 10, 14, 9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sd_unet_subpixel_upsample_matches_repeat():
+    """Full tiny SDUNet with upsample_impl='subpixel' vs 'repeat' on the
+    SAME param tree (drop-in for converted checkpoints)."""
+    import dataclasses
+
+    from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
+
+    cfg = SDUNetConfig.tiny()
+    key = jax.random.PRNGKey(22)
+    x = jax.random.normal(key, (1, 16, 16, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(23), (1, 7, 64), jnp.float32)
+    t = jnp.asarray(10.0)
+    base = SDUNet(cfg, dtype=jnp.float32)
+    subp = SDUNet(
+        dataclasses.replace(cfg, upsample_impl="subpixel"), dtype=jnp.float32
+    )
+    p = base.init(key, x, t, ctx)["params"]
+    assert jax.tree.map(jnp.shape, subp.init(key, x, t, ctx)["params"]) == (
+        jax.tree.map(jnp.shape, p)
+    )
+    ob = base.apply({"params": p}, x, t, ctx)
+    os_ = subp.apply({"params": p}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(os_), np.asarray(ob), rtol=2e-4, atol=2e-4)
+
+
 def test_geglu_ffn_block_matches_reference():
     """Fused LN+FFN+residual block kernel vs the unfused composition."""
     from superdiff_tpu.ops.pallas.geglu_ffn import (
