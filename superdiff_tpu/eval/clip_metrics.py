@@ -33,23 +33,13 @@ def aggregate_two_prompt_scores(
     }
 
 
-def get_clip_scorer(
-    model_name: str = "openai/clip-vit-base-patch32",
-) -> Optional[Callable]:
-    """Returns scorer(images_uint8, prompt_a, prompt_b) -> aggregation dict,
-    or None when weights are unavailable."""
-    try:
-        import torch
-        from transformers import CLIPModel, CLIPProcessor
-
-        try:  # local cache first: avoids minutes of HTTP retries offline
-            model = CLIPModel.from_pretrained(model_name, local_files_only=True)
-            processor = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
-        except Exception:
-            model = CLIPModel.from_pretrained(model_name)
-            processor = CLIPProcessor.from_pretrained(model_name)
-    except Exception:
-        return None
+def make_clip_scorer(model, processor) -> Callable:
+    """Scorer over an explicit (CLIPModel, CLIPProcessor) pair — the full
+    ``clip_eval.py:108-139`` protocol (per-image logits vs BOTH prompts,
+    min/avg aggregation). Split out from ``get_clip_scorer`` so the chain
+    is executable end-to-end with tiny random weights (tests) as well as
+    the gated pretrained checkpoint."""
+    import torch
 
     def scorer(images: np.ndarray, prompt_a: str, prompt_b: str) -> dict:
         raw: List[Tuple[float, float]] = []
@@ -67,16 +57,29 @@ def get_clip_scorer(
     return scorer
 
 
-def get_image_reward_scorer() -> Optional[Callable]:
-    """ImageReward RM scorer (``clip_eval.py:144-158``); None when the
-    ``ImageReward`` package/weights are absent."""
+def get_clip_scorer(
+    model_name: str = "openai/clip-vit-base-patch32",
+) -> Optional[Callable]:
+    """Returns scorer(images_uint8, prompt_a, prompt_b) -> aggregation dict,
+    or None when weights are unavailable."""
     try:
-        import ImageReward as RM
-        from PIL import Image
+        from transformers import CLIPModel, CLIPProcessor
 
-        model = RM.load("ImageReward-v1.0")
+        try:  # local cache first: avoids minutes of HTTP retries offline
+            model = CLIPModel.from_pretrained(model_name, local_files_only=True)
+            processor = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
+        except Exception:
+            model = CLIPModel.from_pretrained(model_name)
+            processor = CLIPProcessor.from_pretrained(model_name)
     except Exception:
         return None
+    return make_clip_scorer(model, processor)
+
+
+def make_image_reward_scorer(model) -> Callable:
+    """Scorer over an explicit reward model exposing ``score(prompt, pil)``
+    (the ``ImageReward`` API) — split out for mock-executable tests."""
+    from PIL import Image
 
     def scorer(images: np.ndarray, prompt_a: str, prompt_b: str) -> dict:
         raw = []
@@ -86,3 +89,15 @@ def get_image_reward_scorer() -> Optional[Callable]:
         return aggregate_two_prompt_scores(raw)
 
     return scorer
+
+
+def get_image_reward_scorer() -> Optional[Callable]:
+    """ImageReward RM scorer (``clip_eval.py:144-158``); None when the
+    ``ImageReward`` package/weights are absent."""
+    try:
+        import ImageReward as RM
+
+        model = RM.load("ImageReward-v1.0")
+    except Exception:
+        return None
+    return make_image_reward_scorer(model)

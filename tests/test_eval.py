@@ -407,3 +407,77 @@ def test_bpd_rk4_step_count_adequacy():
 
     assert abs(vals[100] - ref) < 1e-3, (vals, ref)
     assert abs(vals[25] - ref) <= abs(vals[12] - ref) + 1e-6, (vals, ref)
+
+
+def _tiny_clip_processor(tmp_path):
+    """CLIPProcessor over synthesized vocab/merges — no downloads."""
+    import json
+
+    from transformers import CLIPImageProcessor, CLIPProcessor, CLIPTokenizer
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    tokens = ["<|startoftext|>", "<|endoftext|>"]
+    tokens += list(letters) + [c + "</w>" for c in letters]
+    (tmp_path / "vocab.json").write_text(
+        json.dumps({t: i for i, t in enumerate(tokens)})
+    )
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    imp = CLIPImageProcessor(
+        size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32}
+    )
+    return CLIPProcessor(image_processor=imp, tokenizer=tok)
+
+
+def test_clip_scorer_mock_end_to_end(tmp_path):
+    """The full CLIP-score chain (clip_eval.py:108-139) executed with a tiny
+    random transformers CLIPModel + synthesized tokenizer: uint8 images in,
+    min/avg aggregation out. Real-weight absolutes stay gated; this pins the
+    protocol itself."""
+    import torch
+    from transformers import CLIPConfig
+
+    from superdiff_tpu.eval.clip_metrics import make_clip_scorer
+
+    torch.manual_seed(0)
+    cfg = CLIPConfig(
+        text_config={
+            "vocab_size": 64, "hidden_size": 16, "intermediate_size": 32,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "max_position_embeddings": 77,
+        },
+        vision_config={
+            "hidden_size": 16, "intermediate_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "image_size": 32, "patch_size": 16,
+        },
+        projection_dim=8,
+    )
+    from transformers import CLIPModel
+
+    model = CLIPModel(cfg).eval()
+    scorer = make_clip_scorer(model, _tiny_clip_processor(tmp_path))
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 24, 24, 3), np.uint8)
+    out = scorer(imgs, "a cat", "a dog")
+    assert len(out["raw"]) == 3 and len(out["min"]) == 3
+    assert np.isfinite(out["min_mean"]) and np.isfinite(out["avg_mean"])
+    assert out["min_mean"] <= out["avg_mean"] + 1e-9
+    # deterministic model => scoring the same images again agrees
+    again = scorer(imgs, "a cat", "a dog")
+    assert out["raw"] == again["raw"]
+
+
+def test_image_reward_scorer_via_injection():
+    """make_image_reward_scorer over a stub reward model: PIL conversion,
+    per-prompt loop, min/avg aggregation (clip_eval.py:144-158)."""
+    from superdiff_tpu.eval.clip_metrics import make_image_reward_scorer
+
+    class Stub:
+        def score(self, prompt, pil):
+            return float(len(prompt)) + float(np.asarray(pil).mean()) / 255.0
+
+    imgs = np.zeros((2, 8, 8, 3), np.uint8)
+    imgs[1] = 255
+    out = make_image_reward_scorer(Stub())(imgs, "aa", "bbbb")
+    assert out["raw"][0] == (2.0, 4.0)
+    assert out["raw"][1] == (3.0, 5.0)
+    assert out["min_mean"] == 2.5 and out["avg_mean"] == 3.5
