@@ -318,6 +318,12 @@ class TransformerBlock(nn.Module):
             self.dim, self.heads, dtype=self.dtype,
             attn_impl=self.attn_impl, name="attn1",
         )(h)
+        if context.shape[0] != x.shape[0]:
+            # conditioning dedup (see SDUNet docstring): the latent batch
+            # was passed once for g conditioning groups; everything above —
+            # including the expensive 4096-token attn1 — ran at batch b.
+            # Expand group-major here, where context first enters.
+            x = jnp.tile(x, (context.shape[0] // x.shape[0], 1, 1))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.context_dim, dtype=self.dtype,
@@ -370,8 +376,11 @@ class SpatialTransformer(nn.Module):
                 self.channels, self.heads, self.context_dim, self.dtype,
                 self.ffn_impl, self.attn_impl, name=f"block_{i}",
             )(z, context)
-        z = z.reshape(b, h, w, self.channels)
+        # batch may have grown inside the block (conditioning dedup)
+        z = z.reshape(-1, h, w, self.channels)
         z = nn.Dense(self.channels, dtype=self.dtype, name="proj_out")(z)
+        if z.shape[0] != residual.shape[0]:
+            residual = jnp.tile(residual, (z.shape[0] // residual.shape[0], 1, 1, 1))
         return z + residual
 
 
@@ -383,9 +392,14 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: Array, temb: Array) -> Array:
         h = nn.swish(GroupNorm32(name="norm1")(x))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = h + nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
+        te = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
             nn.swish(temb)
-        )[:, None, None, :]
+        )
+        if te.shape[0] != h.shape[0]:
+            # conditioning dedup: temb was built at the deduped batch; all
+            # groups share t, so the tile is exact
+            te = jnp.tile(te, (h.shape[0] // te.shape[0], 1))
+        h = h + te[:, None, None, :]
         h = nn.swish(GroupNorm32(name="norm2")(h))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -457,7 +471,19 @@ class SubpixelUpsample(nn.Module):
 
 
 class SDUNet(nn.Module):
-    """UNet2DConditionModel equivalent: (latents NHWC, t, context) -> eps."""
+    """UNet2DConditionModel equivalent: (latents NHWC, t, context) -> eps.
+
+    **Conditioning dedup**: when ``context.shape[0]`` is an integer multiple
+    g of ``x.shape[0]``, the latent batch is treated as shared across g
+    conditioning groups (group-major, matching
+    ``jnp.concatenate([ctx_a, ctx_b, ...])``) and the output has the context
+    batch. The composition protocol evaluates cond-A/cond-B/uncond at the
+    SAME x_t (clip_eval.py:354,394 runs the same latents under three
+    contexts), so everything before the first cross-attention — conv_in,
+    the first L0 resnet, and the first 4096-token self-attention, ~14 ms of
+    a 182 ms forward at batch 24 — is bitwise-identical across groups;
+    running it once and expanding where context first enters
+    (TransformerBlock attn2) is exact, not an approximation."""
 
     config: SDUNetConfig = SDUNetConfig()
     dtype: jnp.dtype = jnp.bfloat16
@@ -519,6 +545,10 @@ class SDUNet(nn.Module):
             has_attn = block_type == "CrossAttnUpBlock2D"
             for j in range(cfg.layers_per_block + 1):
                 skip = hs.pop()
+                if skip.shape[0] != h.shape[0]:
+                    # conditioning dedup: skips recorded before the first
+                    # cross-attention carry the deduped batch
+                    skip = jnp.tile(skip, (h.shape[0] // skip.shape[0], 1, 1, 1))
                 h = ResnetBlock2D(out_ch, self.dtype, name=f"up_{i}_res_{j}")(
                     jnp.concatenate([h, skip], axis=-1), temb
                 )

@@ -59,6 +59,13 @@ class SDPipelineConfig:
     lift: float = 0.0  # AND lift bias
     kappa_fixed: float = 0.5  # avg methods
     fused_kernel: Optional[bool] = None  # Pallas OR epilogue; None = auto (TPU)
+    # Pass the shared latent ONCE per 3-conditioning forward so the UNet's
+    # pre-cross-attention prefix runs at batch b instead of 3b (exact —
+    # see SDUNet's conditioning-dedup docstring). Applies to or/and/avg*
+    # and and_ode (whose discarded uncond tangent makes the jvp dedup
+    # exact too); sd_* baselines evolve a distinct uncond trajectory and
+    # keep the tiled forward.
+    cond_dedup: bool = True
 
 
 @dataclasses.dataclass
@@ -180,6 +187,14 @@ def superdiff_sd_sample(
         out = vel(big_x, t, sigma, big_c)
         return jnp.split(out, len(xs), axis=0)
 
+    def batched_vels_shared(x, t, sigma, ctxs):
+        """Conditioning-dedup forward: the shared latent is passed once and
+        the UNet expands it where context first enters (exact, see
+        SDUNet docstring)."""
+        big_c = jnp.concatenate(ctxs, axis=0)
+        out = vel(x, t, sigma, big_c)
+        return jnp.split(out, len(ctxs), axis=0)
+
     def body(carry, i):
         x, x_unc, ll_obj, ll_bg, ll_unc, k = carry
         sigma = sigmas[i]
@@ -210,9 +225,17 @@ def superdiff_sd_sample(
             def f(big_x):
                 return vel(big_x, t, sigma, big_c)
 
-            big_x = jnp.concatenate([x, x, x], axis=0)
-            big_tan = jnp.concatenate([probe, probe, jnp.zeros_like(probe)], axis=0)
-            vals, tans = jax.jvp(f, (big_x,), (big_tan,))
+            if cfg.cond_dedup:
+                # the uncond group's tangent is discarded below, so jvp
+                # through the dedup forward with the shared probe returns
+                # identical used values (prefix primal AND tangent dedup)
+                vals, tans = jax.jvp(f, (x,), (probe,))
+            else:
+                big_x = jnp.concatenate([x, x, x], axis=0)
+                big_tan = jnp.concatenate(
+                    [probe, probe, jnp.zeros_like(probe)], axis=0
+                )
+                vals, tans = jax.jvp(f, (big_x,), (big_tan,))
             v_obj, v_bg, v_unc = jnp.split(vals, 3, axis=0)
             t_obj, t_bg, _ = jnp.split(tans, 3, axis=0)
             div_obj = -_sum_ev(probe * t_obj)  # reference sign (clip_eval.py:101)
@@ -230,9 +253,14 @@ def superdiff_sd_sample(
             new_ll_bg = ll_bg + dlls[:, 1]
             new_x_unc, new_ll_unc = x_unc, ll_unc
         else:  # and / or / avg / avg_ode
-            v_obj, v_bg, v_unc = batched_vels(
-                [x, x, x], t, sigma, [ctx_obj, ctx_bg, ctx_unc]
-            )
+            if cfg.cond_dedup:
+                v_obj, v_bg, v_unc = batched_vels_shared(
+                    x, t, sigma, [ctx_obj, ctx_bg, ctx_unc]
+                )
+            else:
+                v_obj, v_bg, v_unc = batched_vels(
+                    [x, x, x], t, sigma, [ctx_obj, ctx_bg, ctx_unc]
+                )
             use_fused = (
                 cfg.fused_kernel
                 if cfg.fused_kernel is not None

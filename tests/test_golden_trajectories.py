@@ -85,7 +85,13 @@ def sd_trajectories():
         vae_config=VAEConfig.tiny(),
         height=64, width=64,
     )
-    cfg = sdp.SDPipelineConfig(num_inference_steps=3, height=64, width=64)
+    # cond_dedup pinned OFF: the golden guards the tiled-forward math/RNG
+    # semantics it was recorded with. The dedup graph is exact per forward
+    # (bitwise eager; XLA-rounding-level under jit) and is bridged to this
+    # one by tests/test_sd_pipeline.py::test_cond_dedup_*.
+    cfg = sdp.SDPipelineConfig(
+        num_inference_steps=3, height=64, width=64, cond_dedup=False
+    )
     out = {}
     for method, bs in (("or", 2), ("and_ode", 1), ("sd_ab", 1)):
         r = sdp.generate(mod, method, "a cat", "a dog", seed=7, batch_size=bs, cfg=cfg)

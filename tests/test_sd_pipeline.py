@@ -94,3 +94,56 @@ def test_or_fused_kernel_matches_jnp_path(mod):
         np.asarray(outs[0]["traces"]["kappa"]), np.asarray(outs[1]["traces"]["kappa"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_cond_dedup_matches_tiled_forward(mod):
+    """SDUNet conditioning dedup: x passed once for 3 contexts must equal the
+    tiled batch-3b forward exactly (the prefix is shared, not approximated)."""
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(32), (6, 7, 64))
+    t = jnp.asarray(3.0)
+    out_dedup = mod.unet.apply({"params": mod.unet_params}, x, t, ctx)
+    out_tiled = mod.unet.apply(
+        {"params": mod.unet_params}, jnp.tile(x, (3, 1, 1, 1)), t, ctx
+    )
+    assert out_dedup.shape == out_tiled.shape == (6, 8, 8, 4)
+    np.testing.assert_allclose(
+        np.asarray(out_dedup), np.asarray(out_tiled), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cond_dedup_generate_matches_tiled(mod):
+    """generate() with cond_dedup on/off. The dedup is exact math (bitwise
+    eagerly — see test_cond_dedup_matches_tiled_forward), but under jit XLA
+    reassociates the two graphs' bf16 arithmetic differently, so jitted
+    outputs agree to bf16-rounding of the ~50-magnitude velocities per step:
+    one step within a few bf16 ULPs of the max magnitude, and the kappa policy (fp32 reductions
+    over the velocity field) stays tight across all steps."""
+    import dataclasses
+
+    one = dataclasses.replace(CFG, num_inference_steps=1)
+    on1 = sdp.generate(mod, "or", "a cat", "a dog", seed=3, batch_size=2,
+                       cfg=dataclasses.replace(one, cond_dedup=True))
+    off1 = sdp.generate(mod, "or", "a cat", "a dog", seed=3, batch_size=2,
+                        cfg=dataclasses.replace(one, cond_dedup=False))
+    a, b = np.asarray(on1["latents"]), np.asarray(off1["latents"])
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+    on = sdp.generate(mod, "or", "a cat", "a dog", seed=3, batch_size=2,
+                      cfg=dataclasses.replace(CFG, cond_dedup=True))
+    off = sdp.generate(mod, "or", "a cat", "a dog", seed=3, batch_size=2,
+                       cfg=dataclasses.replace(CFG, cond_dedup=False))
+    np.testing.assert_allclose(
+        np.asarray(on["traces"]["kappa"]), np.asarray(off["traces"]["kappa"]),
+        rtol=0, atol=1e-3,
+    )
+
+    # and_ode: the jvp dedup (uncond tangent discarded) — same one-step bound
+    on_a = sdp.generate(mod, "and_ode", "a cat", "a dog", seed=3, batch_size=1,
+                        cfg=dataclasses.replace(one, cond_dedup=True))
+    off_a = sdp.generate(mod, "and_ode", "a cat", "a dog", seed=3, batch_size=1,
+                         cfg=dataclasses.replace(one, cond_dedup=False))
+    a, b = np.asarray(on_a["latents"]), np.asarray(off_a["latents"])
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
