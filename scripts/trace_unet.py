@@ -29,6 +29,9 @@ FFN_IMPL = sys.argv[2] if len(sys.argv) > 2 else "fused"
 ATTN_IMPL = sys.argv[3] if len(sys.argv) > 3 else "flash"
 # 4th arg: upsampler ('repeat' default; 'subpixel' = fused 2x2x4F conv)
 UPSAMPLE_IMPL = sys.argv[4] if len(sys.argv) > 4 else "repeat"
+# 5th arg: 'dedup' = conditioning-dedup forward (latents at B//3, context at
+# B: the sampler's 3-conditioning regime; output sliced back for the carry)
+DEDUP = (sys.argv[5] if len(sys.argv) > 5 else "") == "dedup"
 K = 10
 LOGDIR = "/tmp/trace_unet"
 
@@ -44,16 +47,17 @@ def main():
     unet = SDUNet(SDUNetConfig(
         ffn_impl=FFN_IMPL, attn_impl=ATTN_IMPL, upsample_impl=UPSAMPLE_IMPL,
     ))
-    lat = jax.random.normal(key, (B, 64, 64, 4), jnp.bfloat16)
+    lat_b = B // 3 if DEDUP else B
+    lat = jax.random.normal(key, (lat_b, 64, 64, 4), jnp.bfloat16)
     ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
     params = jax.jit(unet.init)(key, lat[:1, :8, :8], jnp.zeros(()), ctx[:1])["params"]
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     def scanned(p, c, l):
         def body(x, _):
-            return unet.apply({"params": p}, x, jnp.float32(500.0), c).astype(
-                jnp.bfloat16
-            ), ()
+            out = unet.apply({"params": p}, x, jnp.float32(500.0), c)
+            # dedup mode: output batch is B; keep the carry at B//3
+            return out[: x.shape[0]].astype(jnp.bfloat16), ()
 
         out, _ = jax.lax.scan(body, l, None, length=K)
         return out
