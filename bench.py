@@ -52,6 +52,36 @@ def _tunnel_alive() -> bool:
     return False
 
 
+def _acquire_tpu_lock(path="/tmp/tpu_lock", max_wait_s=2700, stale_s=2700):
+    """Cooperative one-TPU-process lock. Two processes attaching through the
+    tunnel deadlock each other (CLAUDE.md), so the measurement queue and this
+    bench serialize via an atomic mkdir lock. Waits up to ``max_wait_s``;
+    steals locks older than ``stale_s`` (a wedged holder); then proceeds
+    regardless (never silently skips the bench)."""
+    import os
+    import shutil
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    while _t.time() < deadline:
+        try:
+            os.mkdir(path)
+            return path
+        except FileExistsError:
+            try:
+                age = _t.time() - os.stat(path).st_mtime
+            except OSError:
+                continue  # holder just released
+            if age > stale_s:
+                _log(f"stealing stale tpu lock (age {age:.0f}s)")
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            _log(f"waiting for tpu lock (held {age:.0f}s)")
+            _t.sleep(15)
+    _log("tpu lock wait timed out — proceeding anyway")
+    return None
+
+
 def main():
     # Always probe when the pool endpoint is configured: JAX_PLATFORMS=cpu as
     # an env var is IGNORED by the pinned axon plugin (CLAUDE.md) — such a run
@@ -68,6 +98,16 @@ def main():
             "error": "tpu_tunnel_down",
         }))
         return
+
+    import atexit
+    import os
+    import shutil
+
+    # parent holding the lock already (the serialized measurement queue)
+    if os.environ.get("TPU_LOCK_HELD") != "1":
+        lock = _acquire_tpu_lock()
+        if lock:
+            atexit.register(lambda: shutil.rmtree(lock, ignore_errors=True))
 
     import jax
     import jax.numpy as jnp
