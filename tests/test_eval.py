@@ -81,6 +81,114 @@ def test_two_prompt_aggregation():
     assert out["min_mean"] == 1.5 and out["avg_mean"] == 2.0
 
 
+def test_tifa_choice_matching_and_scoring():
+    """Native tifa_score_single: free-form answers map onto choices (exact,
+    containment, similarity) and the score is per-question accuracy with
+    the tifascore detail schema."""
+    qas = [
+        {"caption": "a cactus", "element": "cactus", "question": "is this a cactus?",
+         "choices": ["yes", "no"], "answer": "yes", "element_type": "object"},
+        {"caption": "a cactus", "element": "cactus",
+         "question": "what plant is in the picture?",
+         "choices": ["cactus", "rose", "sunflower", "fern"], "answer": "cactus",
+         "element_type": "object"},
+    ]
+    answers = {
+        "is this a cactus?": "Yes, it is.",        # containment after normalize
+        "what plant is in the picture?": "a cactis",  # typo -> similarity match
+    }
+    res = tifa.tifa_score_single(lambda img, q, ch: answers[q], qas, "img.png")
+    assert res["tifa_score"] == 1.0
+    d = res["question_details"]["what plant is in the picture?"]
+    assert d["multiple_choice_vqa"] == "cactus" and d["scores"] == 1.0
+    # A wrong free-form answer scores 0 on that question only.
+    wrong = dict(answers, **{"what plant is in the picture?": "a rose"})
+    res2 = tifa.tifa_score_single(lambda img, q, ch: wrong[q], qas, "img.png")
+    assert res2["tifa_score"] == 0.5
+    d2 = res2["question_details"]["what plant is in the picture?"]
+    assert d2["multiple_choice_vqa"] == "rose" and d2["scores"] == 0.0
+
+
+def test_tifa_experiment_end_to_end_with_mocks(tmp_path):
+    """The full tifa_eval.py chain — generation, UnifiedQA-style filter,
+    question persistence, per-method image loop, min/max aggregation —
+    executed end-to-end with mock callables (zero external weights)."""
+    taskinfo = [{"dir_": "cactus_dandelion", "text_AB": "a cactus and a dandelion",
+                 "text_BA": "a dandelion and a cactus"}]
+
+    def question_gen(caption):
+        first = caption.split()[1]
+        return [
+            {"caption": caption, "element": first,
+             "question": f"is there a {first}?", "choices": ["yes", "no"],
+             "answer": "yes", "element_type": "object"},
+            # Inconsistent generation: the filter must drop it (the caption
+            # never supports answering "no").
+            {"caption": caption, "element": first,
+             "question": f"is the {first} absent?", "choices": ["yes", "no"],
+             "answer": "yes", "element_type": "object"},
+        ]
+
+    def qa_fn(context, question, choices):
+        subject = question.split()[-1].rstrip("?")
+        if "absent" in question:
+            return "no"
+        return "yes" if subject in context else "no"
+
+    # Image faithfulness by method: "or" satisfies both phrasings,
+    # sd_a only the AB one.
+    def vqa_fn(image, question, choices):
+        if "/or/" in image:
+            return "yes"
+        return "yes" if "cactus" in question else "no"
+
+    calls = {"gen": 0}
+
+    def counting_gen(caption):
+        calls["gen"] += 1
+        return question_gen(caption)
+
+    kwargs = dict(
+        taskinfo=taskinfo, qa_fn=qa_fn, vqa_fn=vqa_fn,
+        image_path_fn=lambda m, d, i: f"/results/{m}/{d}/{i}.png",
+        n_images=3, methods=("or", "sd_a"), q_dir=str(tmp_path),
+    )
+    out = tifa.run_tifa_experiment(question_gen=counting_gen, **kwargs)
+    task = out["cactus_dandelion"]
+    # Both phrasings keep exactly the consistent question after filtering.
+    qfile = tmp_path / "cactus_dandelion.json"
+    assert qfile.exists()
+    import json as _json
+    saved = _json.loads(qfile.read_text())
+    assert len(saved["filtered_questions_AB"]) == 1
+    assert len(saved["filtered_questions_BA"]) == 1
+    # "or" is faithful to both phrasings; sd_a fails the BA phrasing's min.
+    assert task["summary"]["or"]["mean"] == 1.0
+    assert task["scores"]["sd_a"]["min"] == [0.0, 0.0, 0.0]
+    assert task["scores"]["sd_a"]["max"] == [1.0, 1.0, 1.0]
+    assert task["summary"]["sd_a"]["n"] == 3
+    assert calls["gen"] == 2  # AB + BA, once each
+    # Rerun: questions reload from q_dir, generation is never called again.
+    out2 = tifa.run_tifa_experiment(question_gen=counting_gen, **kwargs)
+    assert calls["gen"] == 2
+    assert out2["cactus_dandelion"]["summary"] == task["summary"]
+
+
+def test_tifa_filter_drops_unanswerable_questions():
+    qas = [{"caption": "a red cube", "question": "what color is the cube?",
+            "choices": ["red", "blue"], "answer": "red"},
+           {"caption": "a red cube", "question": "what color is the sphere?",
+            "choices": ["red", "blue"], "answer": "blue"}]
+
+    def qa_fn(context, question, choices):
+        # The sphere isn't in the caption: the QA model guesses the wrong
+        # choice, so the consistency filter must drop that question.
+        return "red"
+
+    kept = tifa.filter_question_and_answers(qa_fn, qas)
+    assert [q["question"] for q in kept] == ["what color is the cube?"]
+
+
 def test_tifa_aggregation_joint_baselines():
     scores = {
         "sd_ab": [{"tifa_min": 0.5, "tifa_max": 0.8}, {"tifa_min": 0.7, "tifa_max": 0.9}],
