@@ -105,10 +105,22 @@ def main():
         o = flash_mha(q, k, v, native_long_kv=True)
         return o.reshape(B, L, C) @ wo
 
-    timeit("a) packed + transposes (current)", scan(attn_packed), x)
-    timeit("b) einsum layout-out projections", scan(attn_einsum_layout), x)
-    timeit("c) packed + out-side einsum", scan(attn_packed_outeinsum), x)
-    timeit("d) packed + native_long_kv kernel", scan(attn_packed_native), x)
+    res = {
+        "a_packed_transposes": timeit(
+            "a) packed + transposes (current)", scan(attn_packed), x),
+        "b_einsum_layout_out": timeit(
+            "b) einsum layout-out projections", scan(attn_einsum_layout), x),
+        "c_packed_out_einsum": timeit(
+            "c) packed + out-side einsum", scan(attn_packed_outeinsum), x),
+        "d_packed_native_long_kv": timeit(
+            "d) packed + native_long_kv kernel", scan(attn_packed_native), x),
+    }
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+    merge_bench_detail({"attn_layout_sweep_b24_L4096": {
+        "ms_per_iter": {k: round(v, 2) for k, v in res.items()},
+        "shape": {"B": B, "L": L, "C": C, "H": H},
+    }})
 
 
 if __name__ == "__main__":

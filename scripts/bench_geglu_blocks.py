@@ -36,6 +36,7 @@ def sync(x):
 def main():
     from superdiff_tpu.ops.pallas import geglu_ffn as G
 
+    sweep = {}
     for name, L, C in LEVELS:
         f = 4 * C
         key = jax.random.PRNGKey(0)
@@ -65,20 +66,28 @@ def main():
                 dt = (time.perf_counter() - t0) / K * 1e3
                 print(f"  {name} {tag:12s} {dt:7.3f} ms  "
                       f"{gflop/dt:6.0f} GF/ms->TF/s")
+                return round(dt, 3)
             except Exception as e:  # VMEM OOM etc.
                 print(f"  {name} {tag:12s} FAILED: {type(e).__name__}: "
                       f"{str(e)[:80]}")
+                return None
 
+        level_ms = {}
         os.environ.pop("SUPERDIFF_GEGLU_BLOCKS", None)
-        run_once("heuristic")
+        level_ms["heuristic"] = run_once("heuristic")
         for bm, bf in CANDIDATES:
             if bf > 2 * f:
                 continue
             os.environ["SUPERDIFF_GEGLU_BLOCKS"] = f"{bm},{bf}"
             jax.clear_caches()
-            run_once(f"bm{bm}/bf{bf}")
+            level_ms[f"bm{bm}_bf{bf}"] = run_once(f"bm{bm}/bf{bf}")
         os.environ.pop("SUPERDIFF_GEGLU_BLOCKS", None)
         jax.clear_caches()
+        sweep[f"{name}_L{L}_C{C}"] = level_ms
+
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+    merge_bench_detail({"geglu_block_sweep_b24": {"ms_per_iter": sweep}})
 
 
 if __name__ == "__main__":

@@ -137,11 +137,10 @@ def main():
             f.write(f"{dur/1e3/K:10.4f}\t{category(name)}\t{name}\n")
     print("\nfull per-op table: /tmp/trace_unet_ops.txt")
 
-    # persist into BENCH_DETAIL.json (merge-don't-overwrite: other entries
-    # are owned by bench_all / sweep scripts) so the lever A/Bs regenerate
-    # the committed artifact directly instead of living in /tmp logs
-    detail_path = os.path.join(os.path.dirname(__file__), "..",
-                               "BENCH_DETAIL.json")
+    # persist into BENCH_DETAIL.json so the lever A/Bs regenerate the
+    # committed artifact directly instead of living in /tmp logs
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
     entry_key = "sd_unet_fwd_b{}_{}_{}_{}{}".format(
         B, FFN_IMPL, ATTN_IMPL, UPSAMPLE_IMPL, "_dedup" if DEDUP else "")
     entry = {
@@ -156,16 +155,7 @@ def main():
             if c != "outer-wrappers(excluded)"
         },
     }
-    merged = {}
-    if os.path.exists(detail_path):
-        try:
-            with open(detail_path) as fh:
-                merged = json.load(fh)
-        except Exception:
-            merged = {}
-    merged[entry_key] = entry
-    with open(detail_path, "w") as fh:
-        json.dump(merged, fh, indent=2)
+    merge_bench_detail({entry_key: entry})
     print(f"BENCH_DETAIL entry written: {entry_key}")
 
 
