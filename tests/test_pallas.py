@@ -334,3 +334,36 @@ def test_geglu_ffn_block_matches_reference():
         (x,), (dx,),
     )
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=3e-5, atol=3e-5)
+
+
+def test_sd_unet_all_levers_combined_matches_baseline():
+    """All three round-4 levers at once (fused FFN + flash_nat attention +
+    subpixel upsampler + conditioning dedup) vs the plain einsum/repeat
+    tiled forward, SAME param tree — the exact configuration the measurement
+    queue traces as 'all_opts' on-chip."""
+    import dataclasses
+
+    from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
+
+    cfg = SDUNetConfig.tiny()
+    key = jax.random.PRNGKey(24)
+    x = jax.random.normal(key, (1, 16, 16, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(25), (3, 7, 64), jnp.float32)
+    t = jnp.asarray(10.0)
+    base = SDUNet(
+        dataclasses.replace(cfg, ffn_impl="einsum", attn_impl="einsum",
+                            upsample_impl="repeat"),
+        dtype=jnp.float32,
+    )
+    opts = SDUNet(
+        dataclasses.replace(cfg, ffn_impl="fused", attn_impl="flash_nat",
+                            upsample_impl="subpixel"),
+        dtype=jnp.float32,
+    )
+    p = base.init(key, jnp.tile(x, (3, 1, 1, 1)), t, ctx)["params"]
+    ref = base.apply({"params": p}, jnp.tile(x, (3, 1, 1, 1)), t, ctx)
+    # dedup forward: latents once, context batch 3
+    out = opts.apply({"params": p}, x, t, ctx)
+    assert out.shape == ref.shape == (3, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
