@@ -1,0 +1,37 @@
+#!/bin/bash
+# Serialized TPU work queue, holding the cooperative one-TPU-process lock
+# (/tmp/tpu_lock, also honored by bench.py) around every chip-touching run.
+# A background toucher refreshes the lock mtime so a long holder (the 2.5h
+# quality run) is never mistaken for a wedged process and stolen by bench.
+set -x
+cd /root/repo
+export TPU_LOCK_HELD=1
+acquire() {
+  for i in $(seq 1 120); do
+    if mkdir /tmp/tpu_lock 2>/dev/null; then return 0; fi
+    sleep 15
+  done
+  return 0  # proceed after 30 min; bench steals stale locks the same way
+}
+release() { rmdir /tmp/tpu_lock 2>/dev/null; }
+runq() {
+  acquire
+  touch /tmp/tpu_lock 2>/dev/null
+  ( while [ -d /tmp/tpu_lock ]; do touch /tmp/tpu_lock 2>/dev/null; sleep 60; done ) &
+  local toucher=$!
+  "$@"
+  kill "$toucher" 2>/dev/null
+  release
+}
+
+runq timeout 2400 python scripts/trace_unet.py 24 fused > /tmp/trace_fused3.log 2>&1
+runq timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash repeat dedup > /tmp/trace_dedup.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash subpixel > /tmp/trace_subpixel.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat > /tmp/trace_flash_nat.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat subpixel dedup > /tmp/trace_all_opts.log 2>&1
+runq timeout 1800 python scripts/bench_attn_layout.py > /tmp/attn_layout.log 2>&1
+runq timeout 3600 python scripts/bench_all.py > /tmp/bench_all_r4.log 2>&1
+runq timeout 9000 python scripts/quality_report.py --iters 10000 --out QUALITY.json > /tmp/quality_r4.log 2>&1
+runq timeout 2400 python scripts/bench_geglu_blocks.py > /tmp/geglu_blocks.log 2>&1
+echo QUEUE_DONE
