@@ -20,13 +20,16 @@ from . import rigid
 Array = jax.Array
 
 # Idealized backbone atom positions in the residue's local frame (angstroms),
-# standard AF2 rigid-group geometry for the backbone group.
-IDEAL_N = jnp.asarray([-0.525, 1.363, 0.0])
-IDEAL_CA = jnp.asarray([0.0, 0.0, 0.0])
-IDEAL_C = jnp.asarray([1.526, 0.0, 0.0])
-IDEAL_CB = jnp.asarray([-0.529, -0.774, -1.205])
+# standard AF2 rigid-group geometry for the backbone group. Kept as host
+# numpy: a module-level jnp.asarray would initialize the device backend at
+# import time (even `--help` would then require a reachable chip — and on a
+# dead tunnel relay the attach hangs forever instead of erroring).
+IDEAL_N = np.asarray([-0.525, 1.363, 0.0], np.float32)
+IDEAL_CA = np.asarray([0.0, 0.0, 0.0], np.float32)
+IDEAL_C = np.asarray([1.526, 0.0, 0.0], np.float32)
+IDEAL_CB = np.asarray([-0.529, -0.774, -1.205], np.float32)
 # Idealized O relative to the C-frame before the psi rotation.
-IDEAL_O = jnp.asarray([0.627, 1.062, 0.0])
+IDEAL_O = np.asarray([0.627, 1.062, 0.0], np.float32)
 
 # atom37 slot indices (openfold residue_constants convention)
 ATOM37_N, ATOM37_CA, ATOM37_C, ATOM37_CB, ATOM37_O = 0, 1, 2, 3, 4

@@ -215,3 +215,24 @@ def test_flops_audit_analytic_matches_known_sd_unet_cost():
     spec.loader.exec_module(mod)
     total, notes = mod.analytic_flops()
     assert abs(total / 1e12 - 0.7007) < 0.002, notes
+
+
+def test_package_import_initializes_no_backend():
+    """Importing superdiff_tpu (and the CLI) must not create device arrays:
+    backend init at import time makes `--help` require a reachable chip, and
+    on a dead tunnel relay the attach hangs forever instead of erroring.
+    Run in a subprocess — the test process itself has live backends."""
+    import subprocess
+    import sys
+
+    code = (
+        "import superdiff_tpu, superdiff_tpu.cli, superdiff_tpu.eval, "
+        "superdiff_tpu.pipelines; "
+        "import jax._src.xla_bridge as xb; "
+        "assert not xb._backends, list(xb._backends)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
