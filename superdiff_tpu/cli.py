@@ -353,6 +353,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host:port of process 0 for jax.distributed")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform in-process before any "
+                   "device use (the JAX_PLATFORMS env var is overridden "
+                   "by pinned platform plugins on some images; this flag "
+                   "is the reliable way to smoke-run without a chip)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("cifar", help="CIFAR train/eval (cifar/main.py modes)")
@@ -430,6 +435,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.coordinator_address or args.num_processes:
         from .parallel.distributed import initialize
 

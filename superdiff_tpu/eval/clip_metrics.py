@@ -69,6 +69,10 @@ def get_clip_scorer(
             model = CLIPModel.from_pretrained(model_name, local_files_only=True)
             processor = CLIPProcessor.from_pretrained(model_name, local_files_only=True)
         except Exception:
+            from ..utils.hub import allow_hub_download
+
+            if not allow_hub_download():
+                return None  # offline: fail fast to the gated-skip path
             model = CLIPModel.from_pretrained(model_name)
             processor = CLIPProcessor.from_pretrained(model_name)
     except Exception:

@@ -189,6 +189,10 @@ def get_dinov2_feature_fn() -> Optional[callable]:
             proc = AutoImageProcessor.from_pretrained("facebook/dinov2-base", local_files_only=True)
             model = AutoModel.from_pretrained("facebook/dinov2-base", local_files_only=True)
         except Exception:
+            from ..utils.hub import allow_hub_download
+
+            if not allow_hub_download():
+                return None  # offline: fail fast to the gated-skip path
             proc = AutoImageProcessor.from_pretrained("facebook/dinov2-base")
             model = AutoModel.from_pretrained("facebook/dinov2-base")
         model.eval()

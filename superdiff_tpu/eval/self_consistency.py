@@ -89,6 +89,10 @@ def get_esmfold_refolder() -> Optional[Callable[[str], np.ndarray]]:
             tok = AutoTokenizer.from_pretrained("facebook/esmfold_v1", local_files_only=True)
             model = EsmForProteinFolding.from_pretrained("facebook/esmfold_v1", local_files_only=True)
         except Exception:
+            from ..utils.hub import allow_hub_download
+
+            if not allow_hub_download():
+                return None  # offline: fail fast to the gated-skip path
             tok = AutoTokenizer.from_pretrained("facebook/esmfold_v1")
             model = EsmForProteinFolding.from_pretrained("facebook/esmfold_v1")
         model.eval()
