@@ -121,10 +121,31 @@ def main():
 
     batch_size = 8  # forward batch 24; best measured throughput on v5e
     steps = 50
-    cfg = sdp.SDPipelineConfig(num_inference_steps=steps, height=512, width=512)
+    # Optional lever overrides (SUPERDIFF_BENCH_LEVERS, comma list of
+    # flash_nat / subpixel / no_dedup) so the measurement queue can time the
+    # headline with the opt-in kernels without a source edit.
+    import dataclasses
+    import os as _os
+
+    from superdiff_tpu.models.sd.unet import SDUNetConfig
+
+    levers = [s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s]
+    ucfg = SDUNetConfig()
+    if "flash_nat" in levers:
+        ucfg = dataclasses.replace(ucfg, attn_impl="flash_nat")
+    if "subpixel" in levers:
+        ucfg = dataclasses.replace(ucfg, upsample_impl="subpixel")
+    cfg = sdp.SDPipelineConfig(
+        num_inference_steps=steps, height=512, width=512,
+        cond_dedup="no_dedup" not in levers,
+    )
+    if levers:
+        _log(f"lever overrides: {levers}")
 
     key = jax.random.PRNGKey(0)
-    mod = sdp.build_sd_modules(key, height=cfg.height, width=cfg.width)
+    mod = sdp.build_sd_modules(
+        key, unet_config=ucfg, height=cfg.height, width=cfg.width
+    )
     # bf16 weights: inference-only ensemble composition; halves HBM traffic
     # for the weight streams, the bandwidth bottleneck of UNet inference.
     mod.unet_params = jax.tree.map(
@@ -172,6 +193,19 @@ def main():
             }
         )
     )
+    # keep every headline measurement in the committed artifact too
+    try:
+        from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+        tag = "+".join(levers) if levers else "default"
+        merge_bench_detail({f"sd_headline_{tag}": {
+            "images_per_sec_chip": round(imgs_per_sec, 4),
+            "levers": levers,
+            "batch": batch_size,
+            "steps": steps,
+        }})
+    except Exception as e:  # never fail the bench over artifact IO
+        _log(f"BENCH_DETAIL merge skipped: {e}")
 
 
 if __name__ == "__main__":

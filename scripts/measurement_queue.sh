@@ -34,4 +34,5 @@ runq timeout 1800 python scripts/bench_attn_layout.py > /tmp/attn_layout.log 2>&
 runq timeout 3600 python scripts/bench_all.py > /tmp/bench_all_r4.log 2>&1
 runq timeout 9000 python scripts/quality_report.py --iters 10000 --out QUALITY.json > /tmp/quality_r4.log 2>&1
 runq timeout 2400 python scripts/bench_geglu_blocks.py > /tmp/geglu_blocks.log 2>&1
+runq timeout 2400 env SUPERDIFF_BENCH_LEVERS=flash_nat,subpixel python bench.py > /tmp/bench_r4_levers.log 2>&1
 echo QUEUE_DONE
