@@ -129,7 +129,16 @@ def main():
 
     from superdiff_tpu.models.sd.unet import SDUNetConfig
 
-    levers = [s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s]
+    levers = sorted(
+        s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
+    )
+    known = {"flash_nat", "subpixel", "no_dedup"}
+    unknown = [s for s in levers if s not in known]
+    if unknown:
+        # a typo'd lever must not run the default config under a lever label
+        raise SystemExit(
+            f"unknown SUPERDIFF_BENCH_LEVERS {unknown}; known: {sorted(known)}"
+        )
     ucfg = SDUNetConfig()
     if "flash_nat" in levers:
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_nat")

@@ -175,17 +175,15 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             log(f"{name} FAILED: {e}")
     # merge-don't-overwrite: BENCH_DETAIL.json also carries entries owned
-    # by other scripts (trace_unet, bpd_sweep, kernel sweeps)
-    merged = {}
-    if os.path.exists(args.out):
-        try:
-            with open(args.out) as f:
-                merged = json.load(f)
-        except Exception:
-            merged = {}
-    merged.update(results)
-    with open(args.out, "w") as f:
-        json.dump(merged, f, indent=2)
+    # by other scripts (trace_unet, bpd_sweep, kernel sweeps). Resolve a
+    # bare filename against the repo root so runs from another cwd update
+    # the same artifact.
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+    out = args.out
+    if not os.path.isabs(out) and os.sep not in out:
+        out = os.path.join(os.path.dirname(__file__), "..", out)
+    merge_bench_detail(results, path=out)
     print(json.dumps(results))
 
 

@@ -6,21 +6,41 @@
 set -x
 cd /root/repo
 export TPU_LOCK_HELD=1
+
+OWNED=0
+TOUCHER=
+cleanup() {
+  [ -n "$TOUCHER" ] && kill "$TOUCHER" 2>/dev/null
+  [ "$OWNED" = 1 ] && rmdir /tmp/tpu_lock 2>/dev/null
+}
+trap cleanup EXIT INT TERM
+
 acquire() {
   for i in $(seq 1 120); do
-    if mkdir /tmp/tpu_lock 2>/dev/null; then return 0; fi
+    if mkdir /tmp/tpu_lock 2>/dev/null; then OWNED=1; return 0; fi
     sleep 15
   done
-  return 0  # proceed after 30 min; bench steals stale locks the same way
+  # 30 min without the lock: proceed anyway (never skip measurements), but
+  # do NOT touch or release a lock some other live process owns.
+  OWNED=0
+  return 0
 }
-release() { rmdir /tmp/tpu_lock 2>/dev/null; }
+release() {
+  [ -n "$TOUCHER" ] && kill "$TOUCHER" 2>/dev/null
+  TOUCHER=
+  if [ "$OWNED" = 1 ]; then rmdir /tmp/tpu_lock 2>/dev/null; OWNED=0; fi
+}
 runq() {
   acquire
-  touch /tmp/tpu_lock 2>/dev/null
-  ( while [ -d /tmp/tpu_lock ]; do touch /tmp/tpu_lock 2>/dev/null; sleep 60; done ) &
-  local toucher=$!
+  if [ "$OWNED" = 1 ]; then
+    touch /tmp/tpu_lock 2>/dev/null
+    # refresh mtime while our command runs; dies with the queue (trap) or
+    # when the lock is gone
+    ( while [ -d /tmp/tpu_lock ] && kill -0 $$ 2>/dev/null; do
+        touch /tmp/tpu_lock 2>/dev/null; sleep 60; done ) &
+    TOUCHER=$!
+  fi
   "$@"
-  kill "$toucher" 2>/dev/null
   release
 }
 

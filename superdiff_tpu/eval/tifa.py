@@ -61,8 +61,13 @@ def match_choice(free_form_answer: str, choices: Sequence[str]) -> str:
     for c, n in zip(choices, norm):
         if ans == n:
             return c
+    # containment on word boundaries only: 'no' must not match inside
+    # 'cannot tell', and an empty normalized answer matches nothing
+    ans_words, ans_padded = set(ans.split()), f" {ans} "
     for c, n in zip(choices, norm):
-        if n and (n in ans or ans in n):
+        if not n or not ans:
+            continue
+        if (n in ans_words) or (f" {n} " in ans_padded) or (ans in n.split()):
             return c
     sims = [difflib.SequenceMatcher(None, ans, n).ratio() for n in norm]
     return choices[int(np.argmax(sims))]
@@ -268,10 +273,13 @@ def make_tifascore_callables() -> Optional[Dict[str, Callable]]:
             VQAModel,
             get_question_and_answers,
         )
+
+        # constructing the models IS the gated weight load — a present
+        # package with absent weights must hit the None path, not raise
+        unifiedqa = UnifiedQAModel("allenai/unifiedqa-v2-t5-large-1363200")
+        vqa = VQAModel("mplug-large")
     except Exception:
         return None
-    unifiedqa = UnifiedQAModel("allenai/unifiedqa-v2-t5-large-1363200")
-    vqa = VQAModel("mplug-large")
 
     def qa_fn(context: str, question: str, choices: Sequence[str]) -> str:
         return unifiedqa.mcqa(question, context, list(choices))

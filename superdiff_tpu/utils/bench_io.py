@@ -18,7 +18,11 @@ DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "..", "..",
 
 def merge_bench_detail(entries: Dict[str, dict], path: str = DEFAULT_PATH) -> str:
     """Merge ``entries`` into the artifact, keeping keys owned by other
-    scripts (merge-don't-overwrite). Returns the path written."""
+    scripts (merge-don't-overwrite). Returns the path written.
+
+    The write is atomic (temp file + os.replace): a SIGTERM from a queue
+    step's ``timeout`` mid-dump must not leave a truncated artifact that the
+    next merge would silently reset to ``{}``."""
     merged: Dict[str, dict] = {}
     if os.path.exists(path):
         try:
@@ -27,6 +31,8 @@ def merge_bench_detail(entries: Dict[str, dict], path: str = DEFAULT_PATH) -> st
         except Exception:
             merged = {}
     merged.update(entries)
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(merged, fh, indent=2)
+    os.replace(tmp, path)
     return os.path.abspath(path)
