@@ -29,27 +29,15 @@ def _tunnel_alive() -> bool:
     """The axon TPU plugin reaches the chip via the endpoint(s) in
     PALLAS_AXON_POOL_IPS (a local relay in this image); when the endpoint is
     unreachable the plugin hangs forever instead of erroring. Probe it so a
-    dead tunnel produces a JSON line instead of a silent hang. If the pool
-    env var is absent (plugin configured some other way), assume alive —
-    never skip a bench that could have run."""
-    import os
-    import socket
+    dead tunnel produces a JSON line instead of a silent hang (the shared
+    probe assumes alive when no relay is configured — never skip a bench
+    that could have run)."""
+    import sys as _sys
 
-    ips = [s for s in os.environ.get("PALLAS_AXON_POOL_IPS", "").split(",") if s]
-    if not ips:
-        return True
-    for ip in ips:
-        for port in (8082, 8083, 8087, 8092, 8093, 8097):
-            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-            s.settimeout(1.0)
-            try:
-                s.connect((ip, port))
-                return True
-            except OSError:
-                continue
-            finally:
-                s.close()
-    return False
+    _sys.path.insert(0, "/root/repo")
+    from superdiff_tpu.utils.tunnel import tunnel_alive
+
+    return tunnel_alive()
 
 
 def _acquire_tpu_lock(path="/tmp/tpu_lock", max_wait_s=2700, stale_s=2700):

@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('cifar_workflow example')
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/cifar_wf")
     ap.add_argument("--iters", type=int, default=1500)

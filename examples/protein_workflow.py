@@ -30,6 +30,9 @@ import numpy as np
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('protein_workflow example')
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/protein_wf")
     ap.add_argument("--length", type=int, default=32)

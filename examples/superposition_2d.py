@@ -63,6 +63,9 @@ def train_model(key, which, n_iters=2000):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('superposition_2d example')
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/superpose2d")
     ap.add_argument("--n_samples", type=int, default=512)

@@ -151,6 +151,9 @@ def bench_flops_audit():
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('bench_all')
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     args = ap.parse_args()

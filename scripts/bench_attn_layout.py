@@ -50,6 +50,9 @@ def timeit(name, fn, *args):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('bench_attn_layout')
     from superdiff_tpu.ops.pallas.flash_attention import flash_mha
 
     key = jax.random.PRNGKey(0)

@@ -34,6 +34,9 @@ def sync(x):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('bench_geglu_blocks')
     from superdiff_tpu.ops.pallas import geglu_ffn as G
 
     sweep = {}

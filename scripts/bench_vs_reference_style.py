@@ -29,6 +29,9 @@ def sync(x):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('bench_vs_reference_style')
     from superdiff_tpu.core import SuperposeConfig, VPSchedule, superpose
     from superdiff_tpu.core import ito
     from superdiff_tpu.core.kappa import or_weights

@@ -21,6 +21,9 @@ K = 10
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('dump_hlo')
     from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
 
     key = jax.random.PRNGKey(0)

@@ -15,8 +15,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from superdiff_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from superdiff_tpu.utils.tunnel import require_tunnel  # noqa: E402
 
 enable_compilation_cache()
+require_tunnel("profile_sd_parts")
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 K = 20  # scan iterations per timing

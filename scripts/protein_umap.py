@@ -35,6 +35,9 @@ def load_dir(path, max_files=None):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('protein_umap')
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+", help="NAME=PATH per model")
     ap.add_argument("--out", default="protein_umap.png")

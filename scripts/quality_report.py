@@ -35,6 +35,9 @@ def log(m):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('quality_report')
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/quality_report")
     ap.add_argument("--iters", type=int, default=3000)

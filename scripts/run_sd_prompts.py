@@ -41,6 +41,9 @@ METHODS = ["and", "avg", "sd_ab", "sd_ba", "or", "sd_ab_or", "sd_ba_or", "sd_a",
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('run_sd_prompts')
     ap = argparse.ArgumentParser()
     ap.add_argument("--pair", type=int, default=0, help="pair index 0..19")
     ap.add_argument("--method", default="and", choices=METHODS)

@@ -41,6 +41,9 @@ def sync(x):
 
 
 def main():
+    from superdiff_tpu.utils.tunnel import require_tunnel
+
+    require_tunnel('trace_unet')
     from superdiff_tpu.models.sd.unet import SDUNet, SDUNetConfig
 
     key = jax.random.PRNGKey(0)
