@@ -384,6 +384,33 @@ class SpatialTransformer(nn.Module):
         return z + residual
 
 
+class _Conv1x1(nn.Module):
+    """1x1 conv expressed as the dot it is: params identical to ``nn.Conv``
+    ((1, 1, C, F) ``kernel`` + ``bias``, same init), compute via einsum.
+
+    XLA lowers a single-chip 1x1 conv to this dot anyway; the explicit dot
+    exists because GSPMD MISPARTITIONS the conv form when it is vmapped
+    over an ensemble-stacked, 'model'-sharded parameter axis (wrong values,
+    max-err O(10) — minimal repro in
+    ``tests/test_tp.py::test_vmapped_1x1_conv_gspmd_workaround``), while
+    the dot partitions correctly."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jnp.einsum(
+            "bhwc,cf->bhwf", x.astype(self.dtype), kernel[0, 0].astype(self.dtype)
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     out_ch: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -403,7 +430,7 @@ class ResnetBlock2D(nn.Module):
         h = nn.swish(GroupNorm32(name="norm2")(h))
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = _Conv1x1(self.out_ch, dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 

@@ -7,7 +7,8 @@ from .mesh import (
     shard_batch,
     local_mesh_for_testing,
 )
-from .tp import make_tp_mesh, place_tp, sd_tp_shardings
+from .tp import (make_ensemble_tp_mesh, make_tp_mesh, place_tp,
+                 sd_tp_shardings, sd_tp_shardings_stacked)
 
 __all__ = [
     "make_mesh",
@@ -16,7 +17,9 @@ __all__ = [
     "ensemble_sharding",
     "shard_batch",
     "local_mesh_for_testing",
+    "make_ensemble_tp_mesh",
     "make_tp_mesh",
     "place_tp",
     "sd_tp_shardings",
+    "sd_tp_shardings_stacked",
 ]

@@ -61,22 +61,22 @@ _TP_RULES = (
 )
 
 
-def sd_tp_shardings(params: Any, mesh: Mesh) -> Any:
-    """A NamedSharding pytree for SD UNet params: transformer kernels
-    sharded over the mesh's ``tp`` axis per the Megatron pairing above,
-    everything else replicated."""
+def _shardings_from_rules(params: Any, mesh: Mesh, prefix: tuple) -> Any:
+    """Rule-matched NamedSharding pytree; ``prefix`` is prepended to every
+    spec (and to the replicated default) so the same Megatron pairing also
+    serves ensemble-STACKED param trees whose leaves carry a leading model
+    axis."""
     assert "tp" in mesh.axis_names, mesh.axis_names
-    replicated = NamedSharding(mesh, P())
+    replicated = NamedSharding(mesh, P(*prefix))
 
     def spec_for(path: str, leaf) -> NamedSharding:
         for rx, spec in _TP_RULES:
             if rx.search(path):
                 # only shard when the dimension divides evenly
-                axis_sizes = mesh.shape
-                tp = axis_sizes["tp"]
+                tp = mesh.shape["tp"]
                 dim = [i for i, s in enumerate(spec) if s == "tp"][0]
-                if leaf.shape[dim] % tp == 0:
-                    return NamedSharding(mesh, spec)
+                if leaf.shape[dim + len(prefix)] % tp == 0:
+                    return NamedSharding(mesh, P(*prefix, *spec))
                 return replicated
         return replicated
 
@@ -89,6 +89,23 @@ def sd_tp_shardings(params: Any, mesh: Mesh) -> Any:
         )
         out.append(spec_for(path, leaf))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def sd_tp_shardings(params: Any, mesh: Mesh) -> Any:
+    """A NamedSharding pytree for SD UNet params: transformer kernels
+    sharded over the mesh's ``tp`` axis per the Megatron pairing above,
+    everything else replicated."""
+    return _shardings_from_rules(params, mesh, prefix=())
+
+
+def sd_tp_shardings_stacked(stacked_params: Any, mesh: Mesh) -> Any:
+    """Shardings for an ensemble-STACKED SD UNet tree (leading model axis,
+    ``models.stack_params``): the stack axis shards over ``model`` and each
+    kernel's tp rule shifts one dim right — full 3-axis
+    data x model x tp composition, each denoiser's tensor shards living on
+    its own model-group's chips."""
+    assert "model" in mesh.axis_names, mesh.axis_names
+    return _shardings_from_rules(stacked_params, mesh, prefix=("model",))
 
 
 def place_tp(params: Any, mesh: Mesh) -> Any:
@@ -105,3 +122,16 @@ def make_tp_mesh(data: int, tp: int) -> Mesh:
 
     devs = np.asarray(jax.devices()[: data * tp]).reshape(data, tp)
     return Mesh(devs, ("data", "tp"))
+
+
+def make_ensemble_tp_mesh(data: int, model: int, tp: int) -> Mesh:
+    """A ('data', 'model', 'tp') mesh for composed-ensemble TP inference:
+    tp innermost (per-step collectives on neighbors), the ensemble axis in
+    the middle (per-step activation mixing), data outermost (no inference
+    collectives)."""
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[: data * model * tp]).reshape(
+        data, model, tp
+    )
+    return Mesh(devs, ("data", "model", "tp"))

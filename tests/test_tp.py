@@ -151,3 +151,96 @@ def test_tp_collective_counts():
     assert cnt["all-gather"] == 3 * n_blocks, cnt
     assert cnt["collective-permute"] == 0, cnt
     assert cnt["all-to-all"] == 0, cnt
+
+
+def test_ensemble_tp_3axis_matches_per_model_forwards():
+    """Full 3-axis composition (data x model x tp): two differently-init
+    tiny SD UNets stacked on a leading model axis, kernels tp-sharded one
+    dim right, the stack over 'model' — the vmapped forward must equal the
+    two replicated per-model forwards."""
+    from superdiff_tpu.models import stack_params
+    from superdiff_tpu.parallel import (
+        make_ensemble_tp_mesh,
+        sd_tp_shardings_stacked,
+    )
+
+    unet, params_a, x, ctx = _tiny_unet()
+    params_b = unet.init(
+        jax.random.PRNGKey(7), x[:1, :8, :8], jnp.zeros(()), ctx[:1]
+    )["params"]
+    refs = [
+        unet.apply({"params": p}, x, jnp.float32(500.0), ctx)
+        for p in (params_a, params_b)
+    ]
+
+    mesh = make_ensemble_tp_mesh(data=2, model=2, tp=2)
+    stacked = stack_params([params_a, params_b])
+    sh = sd_tp_shardings_stacked(stacked, mesh)
+    # the stacked qkv kernel rides both axes: (model, C, C') -> P('model', None, 'tp')
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    specs = {
+        "/".join(getattr(k, "key", str(k)) for k in kp): s.spec
+        for kp, s in flat
+    }
+    qkv = [s for p, s in specs.items() if "attn1/to_q/kernel" in p]
+    assert qkv and all(s == P("model", None, "tp") for s in qkv), qkv
+    assert all(s[0] == "model" for s in specs.values())
+
+    stacked = jax.tree.map(jax.device_put, stacked, sh)
+    din = NamedSharding(mesh, P("data"))
+    x_s, ctx_s = jax.device_put(x, din), jax.device_put(ctx, din)
+
+    @jax.jit
+    def fwd(ps, xx, cc):
+        return jax.vmap(
+            lambda p: unet.apply({"params": p}, xx, jnp.float32(500.0), cc)
+        )(ps)
+
+    out = fwd(stacked, x_s, ctx_s)
+    assert out.shape == (2, *refs[0].shape)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(refs[i]), rtol=2e-4, atol=2e-4,
+            err_msg=f"model {i} diverged under 3-axis sharding",
+        )
+
+
+def test_vmapped_1x1_conv_gspmd_workaround():
+    """Documents the XLA GSPMD miscompilation that forced SDUNet's
+    conv_shortcut to the einsum form (_Conv1x1): a vmapped 1x1
+    conv_general_dilated with BOTH operands sharded over the vmapped mesh
+    axis returns wrong values (O(10) error on the CPU partitioner), while
+    the equivalent dot partitions correctly. If the conv form ever starts
+    passing here, the workaround can be retired."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:2]).reshape(2)
+    mesh = Mesh(devs, ("model",))
+    ms = NamedSharding(mesh, P("model"))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 2, 8, 8, 32), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 1, 32, 64), jnp.float32)
+
+    def conv(xx, kk):
+        return jax.lax.conv_general_dilated(
+            xx, kk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    def dot(xx, kk):
+        return jnp.einsum("bhwc,cf->bhwf", xx, kk[0, 0])
+
+    ref = jnp.stack([conv(x[i], w[i]) for i in range(2)])
+    x_s, w_s = jax.device_put(x, ms), jax.device_put(w, ms)
+    out_dot = jax.jit(lambda xs, ws: jax.vmap(dot)(xs, ws))(x_s, w_s)
+    np.testing.assert_allclose(np.asarray(out_dot), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    out_conv = jax.jit(lambda xs, ws: jax.vmap(conv)(xs, ws))(x_s, w_s)
+    conv_err = float(np.abs(np.asarray(out_conv) - np.asarray(ref)).max())
+    if conv_err < 1e-4:
+        import warnings
+
+        warnings.warn(
+            "vmapped+sharded 1x1 conv now partitions correctly "
+            f"(err {conv_err:.1e}) — the _Conv1x1 einsum workaround in "
+            "models/sd/unet.py can be retired"
+        )
