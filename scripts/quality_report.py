@@ -288,7 +288,7 @@ def main():
         ),
     ]
     fld_gen = [n for n in fld_rows if "fld_ci95" in rows.get(n, {})]
-    if fld_gen and "fld_ci95" in rows["sanity_noise"]:
+    if fld_gen and "fld" in rows["sanity_noise"]:
         orderings.append(check(
             "fld: every generated row << sanity_noise",
             max(_ci(n, "fld")[1] for n in fld_gen),
