@@ -110,8 +110,8 @@ def main():
     batch_size = 8  # forward batch 24; best measured throughput on v5e
     steps = 50
     # Optional lever overrides (SUPERDIFF_BENCH_LEVERS, comma list of
-    # flash_nat / subpixel / no_dedup) so the measurement queue can time the
-    # headline with the opt-in kernels without a source edit.
+    # flash_nat / flash_eo / subpixel / no_dedup) so the measurement queue
+    # can time the headline with the opt-in kernels without a source edit.
     import dataclasses
     import os as _os
 
@@ -120,7 +120,7 @@ def main():
     levers = sorted(
         s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
     )
-    known = {"flash_nat", "subpixel", "no_dedup"}
+    known = {"flash_nat", "flash_eo", "subpixel", "no_dedup"}
     unknown = [s for s in levers if s not in known]
     if unknown:
         # a typo'd lever must not run the default config under a lever label
@@ -130,6 +130,8 @@ def main():
     ucfg = SDUNetConfig()
     if "flash_nat" in levers:
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_nat")
+    if "flash_eo" in levers:
+        ucfg = dataclasses.replace(ucfg, attn_impl="flash_eo")
     if "subpixel" in levers:
         ucfg = dataclasses.replace(ucfg, upsample_impl="subpixel")
     cfg = sdp.SDPipelineConfig(

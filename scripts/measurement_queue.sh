@@ -44,15 +44,18 @@ runq() {
   release
 }
 
-runq timeout 2400 python scripts/trace_unet.py 24 fused > /tmp/trace_fused3.log 2>&1
+# Order: headline first (also warms the driver's bench compile cache),
+# then the trace attribution + lever A/Bs, then the long FLD-capable
+# quality run (restores the already-trained A/B pair from
+# /tmp/quality_report), then the full sweep. attn_layout and
+# geglu_blocks already produced valid numbers post-fix and are omitted.
 runq timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
-runq timeout 9000 python scripts/quality_report.py --iters 10000 --out QUALITY.json > /tmp/quality_r4.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused > /tmp/trace_fused3.log 2>&1
 runq timeout 2400 python scripts/trace_unet.py 24 fused flash repeat dedup > /tmp/trace_dedup.log 2>&1
 runq timeout 2400 python scripts/trace_unet.py 24 fused flash subpixel > /tmp/trace_subpixel.log 2>&1
 runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat > /tmp/trace_flash_nat.log 2>&1
 runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat subpixel dedup > /tmp/trace_all_opts.log 2>&1
 runq timeout 2400 env SUPERDIFF_BENCH_LEVERS=flash_nat,subpixel python bench.py > /tmp/bench_r4_levers.log 2>&1
-runq timeout 1800 python scripts/bench_attn_layout.py > /tmp/attn_layout.log 2>&1
+runq timeout 9000 python scripts/quality_report.py --iters 10000 --out QUALITY.json > /tmp/quality_r4.log 2>&1
 runq timeout 3600 python scripts/bench_all.py > /tmp/bench_all_r4.log 2>&1
-runq timeout 2400 python scripts/bench_geglu_blocks.py > /tmp/geglu_blocks.log 2>&1
 echo QUEUE_DONE

@@ -124,6 +124,31 @@ class CrossAttention(nn.Module):
         wk, = _KernelParams(ctx_dim, inner, name="to_k")()
         wv, = _KernelParams(ctx_dim, inner, name="to_v")()
         xc = x.astype(self.dtype)
+        if (self.attn_impl == "flash_eo" and context is None
+                and x.shape[1] > 256):
+            # 'flash_eo' (einsum-layout-out, bench_attn_layout.py variant
+            # (b), measured 15.00 vs 15.73 ms for (a) at B24/L4096): the
+            # per-projection einsums write q/k/v directly in the kernel's
+            # (B, H, L, D) layout and the out-projection consumes it, so
+            # the 4 per-layer layout copies of the (B, L, C) stream that
+            # flash_mha's transposes cost never exist. Self-attention with
+            # L > 256 only — short rows already ride the transpose-free
+            # packed kernel. Param tree (to_q/k/v, to_out kernel+bias)
+            # unchanged.
+            from ...ops.pallas.flash_attention import flash_mha_bhld
+
+            nh, hd = self.heads, head_dim
+            q = jnp.einsum(
+                "blc,chd->bhld", xc, wq.astype(self.dtype).reshape(-1, nh, hd))
+            k = jnp.einsum(
+                "blc,chd->bhld", xc, wk.astype(self.dtype).reshape(-1, nh, hd))
+            v = jnp.einsum(
+                "blc,chd->bhld", xc, wv.astype(self.dtype).reshape(-1, nh, hd))
+            o = flash_mha_bhld(q, k, v)
+            wo, bo = _DenseParams(inner, inner, name="to_out")()
+            return jnp.einsum(
+                "bhld,hdc->blc", o, wo.astype(self.dtype).reshape(nh, hd, -1)
+            ) + bo.astype(self.dtype)
         if self.attn_impl == "einsum":
             # The einsum lowering is the tensor-parallel path
             # (parallel/tp.py): separate matmuls keep each column-sharded
@@ -150,7 +175,9 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, head_dim)
         k = k.reshape(b, lk, self.heads, head_dim)
         v = v.reshape(b, lk, self.heads, head_dim)
-        if self.attn_impl in ("flash", "flash_nat"):
+        if self.attn_impl in ("flash", "flash_nat", "flash_eo"):
+            # 'flash_eo' reaches here for cross-attention and short rows,
+            # where the standard dispatch is already transpose-free
             from ...ops.pallas.flash_attention import flash_mha
 
             # 'flash_nat' opts the long-kv self-attention into the

@@ -320,6 +320,70 @@ def _flash_jvp(sm_scale, block_q, block_k, interpret, native_long_kv,
     return jax.jvp(lambda q, k, v: _reference(q, k, v, sm_scale), primals, tangents)
 
 
+def _reference_bhld(q: Array, k: Array, v: Array, sm_scale: float) -> Array:
+    """Plain einsum attention staying in the kernel's (B, H, L, D) layout."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * sm_scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhld(q, k, v, sm_scale, block_q, block_k, interpret):
+    return _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret)
+
+
+@_flash_bhld.defjvp
+def _flash_bhld_jvp(sm_scale, block_q, block_k, interpret, primals, tangents):
+    """Forward-mode via the in-layout einsum reference (same pattern as
+    ``_flash_jvp``: the ODE Itô estimator jvp's through the UNet)."""
+    return jax.jvp(
+        lambda q, k, v: _reference_bhld(q, k, v, sm_scale), primals, tangents
+    )
+
+
+def flash_mha_bhld(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> Array:
+    """Multi-head attention on tensors ALREADY in the kernel's (B, H, L, D)
+    layout — the 'flash_eo' lever's entry point.
+
+    ``flash_mha`` transposes (B, L, H, D) inputs into (B, H, L, D) for the
+    long-kv kernels and transposes the output back: 4 layout copies of the
+    (24, 4096, 320) stream per layer, measured ~0.42 ms each on v5e
+    (``scripts/bench_attn_layout.py``: variant (b) 15.00 ms vs (a) 15.73).
+    When the caller can *produce* q/k/v in kernel layout (einsum projections
+    ``blc,chd->bhld``) and *consume* the output in kernel layout (out-proj
+    ``bhld,hdc->blc``), this entry skips all four. Same kernels, same
+    dispatch rules as ``flash_mha``; einsum-reference fallback when the
+    sequence doesn't tile.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_q = block_q or min(512, lq)
+    if lk <= 1024:
+        block_k = lk
+    else:
+        block_k = block_k or min(4096, lk)
+    while lq % block_q:
+        block_q //= 2
+    while lk % block_k:
+        block_k //= 2
+    if block_q < 8 or (block_k < 128 and block_k != lk):
+        return _reference_bhld(q, k, v, sm_scale)
+    return _flash_bhld(q, k, v, sm_scale, block_q, block_k, interpret)
+
+
 def flash_mha(
     q: Array,
     k: Array,

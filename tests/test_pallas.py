@@ -250,6 +250,55 @@ def test_sd_transformer_block_flash_nat_matches_flash():
     np.testing.assert_allclose(np.asarray(on), np.asarray(ob), rtol=2e-5, atol=2e-5)
 
 
+def test_flash_mha_bhld_matches_transposed():
+    """flash_mha_bhld on pre-transposed (B, H, L, D) tensors == flash_mha
+    on (B, L, H, D) — same kernels, no layout copies — primal AND jvp
+    (the ODE Itô estimator forward-modes through attention)."""
+    from superdiff_tpu.ops.pallas.flash_attention import flash_mha, flash_mha_bhld
+
+    ks = jax.random.split(jax.random.PRNGKey(31), 6)
+    b, l, h, d = 2, 512, 4, 16
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks[:3])
+    ref = flash_mha(q, k, v)
+    out = flash_mha_bhld(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    dq, dk, dv = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks[3:])
+    _, t_ref = jax.jvp(lambda *a: flash_mha(*a), (q, k, v), (dq, dk, dv))
+    _, t_out = jax.jvp(
+        lambda *a: flash_mha_bhld(*a),
+        tuple(x.transpose(0, 2, 1, 3) for x in (q, k, v)),
+        tuple(x.transpose(0, 2, 1, 3) for x in (dq, dk, dv)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_out.transpose(0, 2, 1, 3)), np.asarray(t_ref),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_sd_transformer_block_flash_eo_matches_flash():
+    """attn_impl='flash_eo' (einsum-layout-out projections feeding the
+    (B,H,L,D) kernel entry, bench_attn_layout.py variant (b)) threads
+    through the TransformerBlock on the SAME param tree and matches the
+    default flash path on a long self-attention row; cross-attention and
+    short rows fall back to the standard dispatch inside the same config."""
+    from superdiff_tpu.models.sd.unet import TransformerBlock
+
+    key = jax.random.PRNGKey(33)
+    x = jax.random.normal(key, (1, 512, 32), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(34), (1, 7, 16), jnp.float32)
+    eo = TransformerBlock(32, 4, 16, dtype=jnp.float32, attn_impl="flash_eo")
+    base = TransformerBlock(32, 4, 16, dtype=jnp.float32, attn_impl="flash")
+    p = base.init(key, x, ctx)["params"]
+    pe = eo.init(key, x, ctx)["params"]
+    assert jax.tree.map(jnp.shape, pe) == jax.tree.map(jnp.shape, p)
+    oe = eo.apply({"params": p}, x, ctx)
+    ob = base.apply({"params": p}, x, ctx)
+    np.testing.assert_allclose(np.asarray(oe), np.asarray(ob), rtol=2e-5, atol=2e-5)
+
+
 def test_subpixel_upsample_matches_repeat_conv():
     """SubpixelUpsample (fused 2x2x4F conv + interleave) vs the literal
     nearest-repeat + 3x3 SAME conv, same params: identical tree, close

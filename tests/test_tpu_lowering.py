@@ -90,6 +90,16 @@ def test_flash_mha_lowers_for_tpu(lk, native_long_kv):
     )
 
 
+def test_flash_mha_bhld_lowers_for_tpu():
+    from superdiff_tpu.ops.pallas.flash_attention import flash_mha_bhld
+
+    b, l, h, d = 2, 4096, 8, 40  # SD L1 self-attention, kernel layout
+    q = jnp.zeros((b, h, l, d), jnp.bfloat16)
+    _assert_tpu_lowerable(
+        functools.partial(flash_mha_bhld, interpret=False), q, q, q
+    )
+
+
 def test_fused_sde_step_lowers_for_tpu():
     n, b, d = 2, 64, 3072  # CIFAR joint SDE step
     sscores = jnp.zeros((n, b, d), jnp.float32)
