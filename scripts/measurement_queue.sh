@@ -44,18 +44,14 @@ runq() {
   release
 }
 
-# Order: headline first (also warms the driver's bench compile cache),
-# then the trace attribution + lever A/Bs, then the long FLD-capable
-# quality run (restores the already-trained A/B pair from
-# /tmp/quality_report), then the full sweep. attn_layout and
-# geglu_blocks already produced valid numbers post-fix and are omitted.
-runq timeout 2400 python bench.py > /tmp/bench_r4.log 2>&1
-runq timeout 2400 python scripts/trace_unet.py 24 fused > /tmp/trace_fused3.log 2>&1
-runq timeout 2400 python scripts/trace_unet.py 24 fused flash repeat dedup > /tmp/trace_dedup.log 2>&1
-runq timeout 2400 python scripts/trace_unet.py 24 fused flash subpixel > /tmp/trace_subpixel.log 2>&1
-runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat > /tmp/trace_flash_nat.log 2>&1
-runq timeout 2400 python scripts/trace_unet.py 24 fused flash_nat subpixel dedup > /tmp/trace_all_opts.log 2>&1
-runq timeout 2400 env SUPERDIFF_BENCH_LEVERS=flash_nat,subpixel python bench.py > /tmp/bench_r4_levers.log 2>&1
-runq timeout 9000 python scripts/quality_report.py --iters 10000 --out QUALITY.json > /tmp/quality_r4.log 2>&1
-runq timeout 3600 python scripts/bench_all.py > /tmp/bench_all_r4.log 2>&1
+# Round-4b sequence (the first r4 queue — headline, lever traces,
+# FLD-capable quality run, full sweep — completed 2026-08-19 06:37):
+# A/B the two post-queue kernel changes (FMA-only exact-gelu polynomial;
+# the flash_eo einsum-layout attention lever), then the single-lever
+# headlines the first queue did not cover.
+runq timeout 2400 python bench.py > /tmp/bench_r4b.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash repeat dedup > /tmp/trace_dedup_gelupoly.log 2>&1
+runq timeout 2400 python scripts/trace_unet.py 24 fused flash_eo repeat dedup > /tmp/trace_flash_eo.log 2>&1
+runq timeout 2400 env SUPERDIFF_BENCH_LEVERS=flash_eo python bench.py > /tmp/bench_flash_eo.log 2>&1
+runq timeout 2400 env SUPERDIFF_BENCH_LEVERS=subpixel python bench.py > /tmp/bench_subpixel.log 2>&1
 echo QUEUE_DONE

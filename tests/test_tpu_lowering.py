@@ -126,19 +126,15 @@ def test_sd_or_step_lowers_for_tpu():
     )
 
 
-def test_erf_poly_matches_true_erf():
-    """The in-kernel A&S 7.1.26 erf (Mosaic has no erf/erfc lowering) must
-    stay within ~1e-6 of lax.erf across the gelu-relevant range (1.5e-7 fit
-    error plus fp32 evaluation rounding; measured 5e-7), so the fused
-    exact-gelu path is interchangeable with the XLA one — three orders
-    below the 2e-5 kernel-vs-einsum tolerance and the bf16 output grid."""
-    from superdiff_tpu.ops.pallas.geglu_ffn import _erf_poly, _gelu_kernel
+def test_gelu_poly_matches_true_gelu():
+    """The in-kernel FMA-only exact-gelu polynomial (Mosaic has no erf/erfc
+    lowering; the A&S rational-exp erf it replaces cost a measured
+    +3.55 ms/forward) must stay within ~2e-6 of jax.nn.gelu's exact branch
+    across and beyond the clamp range — an order below the 2e-5
+    kernel-vs-einsum tolerance and the bf16 output grid."""
+    from superdiff_tpu.ops.pallas.geglu_ffn import _gelu_kernel
 
-    z = jnp.linspace(-6.0, 6.0, 200001, dtype=jnp.float32)
-    err = jnp.abs(_erf_poly(z) - jax.lax.erf(z))
-    assert float(err.max()) < 1e-6
-    # and the composed gelu flavor vs jax.nn.gelu exact
-    x = jnp.linspace(-10.0, 10.0, 100001, dtype=jnp.float32)
+    x = jnp.linspace(-10.0, 10.0, 400001, dtype=jnp.float32)
     g_err = jnp.abs(
         _gelu_kernel(x, approximate=False)
         - jax.nn.gelu(x, approximate=False)
