@@ -160,11 +160,17 @@ def main():
         }
         log(f"{name}: {rows[name]}")
 
-    # pool-mixed baseline (evals.ipynb cell 11): mix A and B sample pools
+    # pool-mixed baseline (evals.ipynb cell 11): mix A and B sample pools.
+    # Shuffle once (fixed seed) so every PREFIX of the pool is a true A/B
+    # mix: the FLD rows below score gen_feat_cache[name][:512], and an
+    # unshuffled concat's first half is exactly model A's pool — the r4
+    # on-chip run scored model A twice under two names this way (FID is
+    # slice-free and was unaffected).
     mixed = np.concatenate(
         [gen_feat_cache["model_A_sde"][: args.n_samples // 2],
          gen_feat_cache["model_B_sde"][: args.n_samples // 2]]
     )
+    mixed = mixed[np.random.default_rng(11).permutation(len(mixed))]
     fm = fid_row(train_feats, mixed)
     rows["pool_mixed_baseline"] = {
         "fid_train": fm["value"],
