@@ -115,6 +115,84 @@ def _kernel_1block(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0, 0, :, :] = (pv / l).astype(o_ref.dtype)
 
 
+def _kernel_1block_mxsum(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """``_kernel_1block`` with the softmax normalizer folded into the PV
+    matmul: V gains a ones column, so ``p @ [V | 1]`` yields the (bq, D)
+    numerator AND the (bq, 1) row sum in ONE MXU pass. head_dim 40 pads to
+    128 output lanes on the MXU either way — lane 40 is free real estate —
+    while the VPU loses a full reduce pass over the (bq, lk) probs tile
+    (~1.6G elements/layer at the SD L0 shape; the reduce is serial with
+    the MXU inside a program, so it is pure added latency).
+
+    Numerics vs ``_kernel_1block``: the row sum is now accumulated from the
+    SAME bf16-quantized probs the PV matmul consumes (fp32 accumulation on
+    the MXU), instead of from the pre-cast fp32 probs. With the row max
+    subtracted, p in (0, 1]; the quantization is unbiased with relative
+    error 2^-9 per element, so the normalizer moves by ~2^-9/sqrt(lk)
+    relative — two orders below the bf16 output grid (and arguably more
+    consistent: numerator and denominator now see identical probs)."""
+    q = q_ref[0, 0, :, :] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    d = v.shape[1]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, lk) fp32, base-2 logits
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m).astype(v.dtype)  # one fused VPU pass incl. the cast
+    v_ext = jnp.pad(v, ((0, 0), (0, 1)), constant_values=1.0)  # (lk, d+1)
+    pv = jax.lax.dot_general(
+        p, v_ext, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, d+1): [:, :d] = numerator, [:, d] = row sum l
+    o_ref[0, 0, :, :] = (pv[:, :d] / pv[:, d:d + 1]).astype(o_ref.dtype)
+
+
+def _kernel_1block_pipe2(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """``_kernel_1block_mxsum`` with the q block split into two independent
+    half-block chains, interleaved so Mosaic's scheduler can overlap one
+    half's softmax (VPU) with the other half's matmuls (MXU). A single
+    chain is strictly QK^T (MXU) -> softmax (VPU) -> PV (MXU): the units
+    serialize and the softmax VPU time is pure added latency. Two
+    dependency-free chains give the scheduler the slack to hide it."""
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
+    d = v.shape[1]
+    v_ext = jnp.pad(v, ((0, 0), (0, 1)), constant_values=1.0)
+    bq = q_ref.shape[2]
+    half = bq // 2
+
+    def chain(q):
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m).astype(v.dtype)
+        return jax.lax.dot_general(
+            p, v_ext, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    scale_c = jnp.asarray(scale, q_ref.dtype)
+    pv0 = chain(q_ref[0, 0, :half, :] * scale_c)
+    pv1 = chain(q_ref[0, 0, half:, :] * scale_c)
+    o_ref[0, 0, :half, :] = (pv0[:, :d] / pv0[:, d:d + 1]).astype(o_ref.dtype)
+    o_ref[0, 0, half:, :] = (pv1[:, :d] / pv1[:, d:d + 1]).astype(o_ref.dtype)
+
+
+_LONG_KERNELS = {
+    "1block": _kernel_1block,
+    "mxsum": _kernel_1block_mxsum,
+    "pipe2": _kernel_1block_pipe2,
+}
+
+# Default single-kv-block kernel for long rows (the L=4096 self-attention
+# path). Module-level so the on-chip sweep (scripts/bench_attn_kernel.py)
+# can A/B the variants without threading a parameter through every caller;
+# the winner becomes the committed default.
+_LONG_IMPL = "1block"
+
+
 def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
     """All-heads-per-program single-block softmax, for short kv rows (text
     cross-attention kv=77, self-attention at the 16x16/8x8 levels).
@@ -206,7 +284,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
         )(q, k, v)
     if n_k == 1:
         return pl.pallas_call(
-            functools.partial(_kernel_1block, scale=scale),
+            functools.partial(_LONG_KERNELS[_LONG_IMPL], scale=scale),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             grid=(b, h, n_q),
             in_specs=[

@@ -99,9 +99,20 @@ def _reference_block(x, gamma, beta, w1, b1, w2, b2, eps, approximate):
                           approximate).astype(x.dtype)
 
 
+# Number of independent row-chain splits inside one FFN kernel program.
+# 1 = the production single chain. 2 = split the row block into halves whose
+# matmul->gelu->matmul chains carry no data dependency, giving Mosaic's
+# scheduler the slack to overlap one half's gelu (VPU) with the other
+# half's matmuls (MXU) — inside a single chain the units strictly
+# serialize, so every VPU pass is added latency (~5.6 ms of the 25.2 ms
+# tier at batch 24). Module-level so scripts/bench_ffn_pipe.py can A/B it
+# on the chip without threading a parameter through the UNet.
+_PIPE = 1
+
+
 def _kernel(x_ref, g_ref, be_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
             w2_ref, b2_ref, o_ref, acc_ref, xn_ref, *, n_f, approximate,
-            eps, fuse_ln, fuse_residual):
+            eps, fuse_ln, fuse_residual, pipe):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -115,20 +126,24 @@ def _kernel(x_ref, g_ref, be_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
         else:
             xn_ref[:] = x_ref[:]
 
-    xn = xn_ref[:]  # (bm, C) bf16
-    v = jax.lax.dot_general(
-        xn, w1v_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1v_ref[0, :][None, :]
-    g = jax.lax.dot_general(
-        xn, w1g_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1g_ref[0, :][None, :]
-    h = (v * _gelu_kernel(g, approximate)).astype(xn.dtype)  # (bm, bf)
-    acc_ref[:] += jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    bm = xn_ref.shape[0]
+    step = bm // pipe
+    for c0 in range(0, bm, step):
+        sl = slice(c0, c0 + step)
+        xn = xn_ref[sl, :]  # (bm/pipe, C) bf16
+        v = jax.lax.dot_general(
+            xn, w1v_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1v_ref[0, :][None, :]
+        g = jax.lax.dot_general(
+            xn, w1g_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1g_ref[0, :][None, :]
+        h = (v * _gelu_kernel(g, approximate)).astype(xn.dtype)
+        acc_ref[sl, :] += jax.lax.dot_general(
+            h, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == n_f - 1)
     def _fin():
@@ -179,6 +194,7 @@ def _ffn_impl(x, gamma, beta, w1, b1, w2, b2, approximate,
         functools.partial(
             _kernel, n_f=n_f, approximate=approximate, eps=eps,
             fuse_ln=fuse_ln, fuse_residual=fuse_residual,
+            pipe=_PIPE if bm % _PIPE == 0 and bm // _PIPE >= 8 else 1,
         ),
         out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
         grid=(n_m, n_f),

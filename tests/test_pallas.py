@@ -146,6 +146,32 @@ def test_flash_attention_native_long_kv_kernel():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
 
 
+def test_flash_attention_long_kernel_variants_match_reference():
+    """The single-kv-block kernel variants for long rows — 'mxsum' (softmax
+    normalizer folded into the PV matmul via a ones column on V) and 'pipe2'
+    (two interleaved half-block chains so the scheduler can overlap VPU
+    softmax with MXU matmuls) — must match the reference and stay within the
+    baseline kernel's tolerance. fp32 inputs make mxsum's normalizer
+    mathematically identical to the baseline's (no probs quantization)."""
+    import superdiff_tpu.ops.pallas.flash_attention as fa
+
+    b, l, h, d = 1, 2048, 2, 40
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.float32) for kk in ks)
+    ref = fa._reference(q, k, v, d**-0.5)
+    prev = fa._LONG_IMPL
+    try:
+        for impl in ("1block", "mxsum", "pipe2"):
+            fa._LONG_IMPL = impl
+            out = fa.flash_mha(q, k, v, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=impl,
+            )
+    finally:
+        fa._LONG_IMPL = prev
+
+
 def test_flash_attention_jvp_matches_reference_jvp():
     """The ODE Ito estimator jvp's through the UNet; the custom_jvp rule must
     agree with forward-mode through the einsum path."""
@@ -383,6 +409,35 @@ def test_geglu_ffn_block_matches_reference():
         (x,), (dx,),
     )
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=3e-5, atol=3e-5)
+
+
+def test_geglu_ffn_block_pipe_split_bit_identical():
+    """The row-chain split (geglu_ffn._PIPE, MXU/VPU overlap slack) reorders
+    no per-row arithmetic — pipe 2 and 4 must match pipe 1 BITWISE."""
+    import superdiff_tpu.ops.pallas.geglu_ffn as gf
+
+    m, c, f = 64, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(14), 5)
+    x = jax.random.normal(ks[0], (m, c), jnp.bfloat16)
+    gamma = jnp.ones((c,), jnp.float32)
+    beta = jnp.zeros((c,), jnp.float32)
+    w1 = jax.random.normal(ks[1], (c, 2 * f), jnp.bfloat16) * 0.05
+    b1 = jnp.zeros((2 * f,), jnp.float32)
+    w2 = jax.random.normal(ks[2], (f, c), jnp.bfloat16) * 0.05
+    b2 = jnp.zeros((c,), jnp.float32)
+    prev = gf._PIPE
+    try:
+        outs = {}
+        for pipe in (1, 2, 4):
+            gf._PIPE = pipe
+            outs[pipe] = gf.geglu_ffn_block(
+                x, gamma, beta, w1, b1, w2, b2, approximate=False,
+                interpret=True,
+            )
+        np.testing.assert_array_equal(np.asarray(outs[2]), np.asarray(outs[1]))
+        np.testing.assert_array_equal(np.asarray(outs[4]), np.asarray(outs[1]))
+    finally:
+        gf._PIPE = prev
 
 
 def test_sd_unet_all_levers_combined_matches_baseline():

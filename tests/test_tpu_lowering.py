@@ -90,6 +90,25 @@ def test_flash_mha_lowers_for_tpu(lk, native_long_kv):
     )
 
 
+@pytest.mark.parametrize("impl", ["mxsum", "pipe2"])
+def test_flash_long_kernel_variants_lower_for_tpu(impl):
+    """The single-kv-block variants build a (lk, d+1) ones-extended V via a
+    lane-dim pad INSIDE the kernel — a lowering-risk op Mosaic must accept
+    at the real SD L0 shape."""
+    import superdiff_tpu.ops.pallas.flash_attention as fa
+
+    b, lq, h, d = 2, 4096, 8, 40
+    q = jnp.zeros((b, lq, h, d), jnp.bfloat16)
+    prev = fa._LONG_IMPL
+    try:
+        fa._LONG_IMPL = impl
+        _assert_tpu_lowerable(
+            functools.partial(flash_mha, interpret=False), q, q, q
+        )
+    finally:
+        fa._LONG_IMPL = prev
+
+
 def test_flash_mha_bhld_lowers_for_tpu():
     from superdiff_tpu.ops.pallas.flash_attention import flash_mha_bhld
 
