@@ -120,7 +120,13 @@ def main():
     levers = sorted(
         s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
     )
-    known = {"flash_nat", "flash_eo", "subpixel", "no_dedup"}
+    # Defaults are the measured winners (flash_eo + subpixel + dedup +
+    # pipe2 long-attention kernel); levers now A/B *away* from them.
+    known = {
+        "flash", "flash_nat", "flash_eo", "subpixel", "repeat", "no_dedup",
+        "long_1block", "long_mxsum", "long_pipe2", "long_pipe4",
+        "batch4", "batch12", "batch16",
+    }
     unknown = [s for s in levers if s not in known]
     if unknown:
         # a typo'd lever must not run the default config under a lever label
@@ -128,12 +134,26 @@ def main():
             f"unknown SUPERDIFF_BENCH_LEVERS {unknown}; known: {sorted(known)}"
         )
     ucfg = SDUNetConfig()
+    if "flash" in levers:
+        ucfg = dataclasses.replace(ucfg, attn_impl="flash")
     if "flash_nat" in levers:
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_nat")
     if "flash_eo" in levers:
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_eo")
+    if "repeat" in levers:
+        ucfg = dataclasses.replace(ucfg, upsample_impl="repeat")
     if "subpixel" in levers:
         ucfg = dataclasses.replace(ucfg, upsample_impl="subpixel")
+    for lv in levers:
+        if lv.startswith("long_"):
+            from superdiff_tpu.ops.pallas import flash_attention as _fa
+
+            _fa._LONG_IMPL = lv[len("long_"):]
+        elif lv.startswith("batch"):
+            # latent batch sweep (forward batch = 3x with dedup): batch 8
+            # was tuned before flash_eo/pipe2/subpixel shifted the cost
+            # ratios; the throughput optimum may have moved.
+            batch_size = int(lv[len("batch"):])
     cfg = sdp.SDPipelineConfig(
         num_inference_steps=steps, height=512, width=512,
         cond_dedup="no_dedup" not in levers,

@@ -106,7 +106,25 @@ def main():
                 err = float(jnp.max(jnp.abs(
                     out.astype(jnp.float32) - ref.astype(jnp.float32))))
                 print(f"    max |diff| vs 1block/flash: {err:.3e}", flush=True)
-    fa._LONG_IMPL = "1block"
+
+    # second axis: q-block rows per program x chain count, einsum layout
+    # only (the production path). block_q trades grid parallelism (more
+    # programs to schedule across the cores) against per-chain matmul size;
+    # pipe4 halves the chain size again at fixed block_q.
+    bq_results = {}
+    prev_bq = fa._LONG_BLOCK_Q
+    for impl in ("pipe2", "pipe4"):
+        fa._LONG_IMPL = impl
+        for bq in (256, 512, 1024):
+            fa._LONG_BLOCK_Q = bq
+            dt = timeit(f"{impl} / bq{bq} / flash_eo", scan(attn_flash_eo), x)
+            bq_results[f"{impl}_bq{bq}"] = round(dt, 2)
+            out = jax.jit(scan(attn_flash_eo))(x)
+            err = float(jnp.max(jnp.abs(
+                out.astype(jnp.float32) - ref.astype(jnp.float32))))
+            print(f"    max |diff| vs 1block/flash: {err:.3e}", flush=True)
+    fa._LONG_IMPL = "pipe2"
+    fa._LONG_BLOCK_Q = prev_bq
 
     from superdiff_tpu.utils.bench_io import merge_bench_detail
 
@@ -114,8 +132,12 @@ def main():
         "ms_per_iter": results,
         "shape": {"B": B, "L": L, "C": C, "H": H, "D": D},
         "pattern": "projections + kernel + out-proj in a 10-iter scan",
+    }, "attn_long_blockq_sweep": {
+        "ms_per_iter": bq_results,
+        "shape": {"B": B, "L": L, "C": C, "H": H, "D": D},
+        "pattern": "flash_eo projections + kernel + out-proj, 10-iter scan",
     }})
-    print(f"BENCH_DETAIL entry written: attn_long_kernel_sweep -> {path}")
+    print(f"BENCH_DETAIL entries written: attn_long_*_sweep -> {path}")
 
 
 if __name__ == "__main__":

@@ -67,14 +67,21 @@ class SDUNetConfig:
     # Kernel selection (see CrossAttention / TransformerBlock docstrings);
     # 'einsum' variants give the pure-XLA lowering (used e.g. by the FLOP
     # audit, where Pallas custom calls are invisible to cost_analysis).
-    attn_impl: str = "flash"
+    # 'flash_eo' promoted to default after the on-chip A/B (headline
+    # 0.8788 -> 0.9125 img/s; data-formatting tier 12.6 -> 3.3 ms/forward,
+    # BENCH_DETAIL sd_headline_flash_eo / trace_unet): einsum-layout
+    # projections write q/k/v directly in the long-kv kernel's (B,H,L,D)
+    # layout, deleting 4 layout copies per self-attention layer.
+    attn_impl: str = "flash_eo"
     ffn_impl: str = "fused"
     # 'repeat' = nearest-2x repeat + 3x3 conv (the diffusers Upsample2D
-    # semantics, literally); 'subpixel' = the same map algebraically fused
-    # into one 2x2x(4*C_out) conv on the SMALL grid + phase interleave
-    # (4/9 the FLOPs, no upsampled intermediate in HBM) — see
-    # SubpixelUpsample. Opt-in pending on-chip measurement.
-    upsample_impl: str = "repeat"
+    # semantics, literally); 'subpixel' (default after the on-chip A/B:
+    # headline 0.8788 -> 0.8885 standalone, BENCH_DETAIL
+    # sd_headline_subpixel) = the same map algebraically fused into one
+    # 2x2x(4*C_out) conv on the SMALL grid + phase interleave (4/9 the
+    # FLOPs, no upsampled intermediate in HBM) — see SubpixelUpsample.
+    # Same param tree as 'repeat' (converter-compatible, equality-tested).
+    upsample_impl: str = "subpixel"
 
     @staticmethod
     def tiny() -> "SDUNetConfig":

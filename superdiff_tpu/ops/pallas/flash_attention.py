@@ -148,49 +148,73 @@ def _kernel_1block_mxsum(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0, 0, :, :] = (pv[:, :d] / pv[:, d:d + 1]).astype(o_ref.dtype)
 
 
-def _kernel_1block_pipe2(q_ref, k_ref, v_ref, o_ref, *, scale):
-    """``_kernel_1block_mxsum`` with the q block split into two independent
-    half-block chains, interleaved so Mosaic's scheduler can overlap one
-    half's softmax (VPU) with the other half's matmuls (MXU). A single
-    chain is strictly QK^T (MXU) -> softmax (VPU) -> PV (MXU): the units
-    serialize and the softmax VPU time is pure added latency. Two
+def _make_pipe_kernel(n_chains):
+    """``_kernel_1block_mxsum`` with the q block split into ``n_chains``
+    independent sub-block chains, interleaved so Mosaic's scheduler can
+    overlap one chain's softmax (VPU) with another's matmuls (MXU). A
+    single chain is strictly QK^T (MXU) -> softmax (VPU) -> PV (MXU): the
+    units serialize and the softmax VPU time is pure added latency;
     dependency-free chains give the scheduler the slack to hide it."""
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    d = v.shape[1]
-    v_ext = jnp.pad(v, ((0, 0), (0, 1)), constant_values=1.0)
-    bq = q_ref.shape[2]
-    half = bq // 2
 
-    def chain(q):
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2(s - m).astype(v.dtype)
-        return jax.lax.dot_general(
-            p, v_ext, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        d = v.shape[1]
+        v_ext = jnp.pad(v, ((0, 0), (0, 1)), constant_values=1.0)
+        bq = q_ref.shape[2]
+        step = bq // n_chains
 
-    scale_c = jnp.asarray(scale, q_ref.dtype)
-    pv0 = chain(q_ref[0, 0, :half, :] * scale_c)
-    pv1 = chain(q_ref[0, 0, half:, :] * scale_c)
-    o_ref[0, 0, :half, :] = (pv0[:, :d] / pv0[:, d:d + 1]).astype(o_ref.dtype)
-    o_ref[0, 0, half:, :] = (pv1[:, :d] / pv1[:, d:d + 1]).astype(o_ref.dtype)
+        def chain(q):
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m).astype(v.dtype)
+            return jax.lax.dot_general(
+                p, v_ext, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        scale_c = jnp.asarray(scale, q_ref.dtype)
+        pvs = [
+            chain(q_ref[0, 0, i * step:(i + 1) * step, :] * scale_c)
+            for i in range(n_chains)
+        ]
+        for i, pv in enumerate(pvs):
+            o_ref[0, 0, i * step:(i + 1) * step, :] = (
+                pv[:, :d] / pv[:, d:d + 1]
+            ).astype(o_ref.dtype)
+
+    kernel.__name__ = f"_kernel_1block_pipe{n_chains}"
+    return kernel
 
 
 _LONG_KERNELS = {
     "1block": _kernel_1block,
     "mxsum": _kernel_1block_mxsum,
-    "pipe2": _kernel_1block_pipe2,
+    "pipe2": _make_pipe_kernel(2),
+    "pipe4": _make_pipe_kernel(4),
 }
 
 # Default single-kv-block kernel for long rows (the L=4096 self-attention
 # path). Module-level so the on-chip sweep (scripts/bench_attn_kernel.py)
-# can A/B the variants without threading a parameter through every caller;
-# the winner becomes the committed default.
-_LONG_IMPL = "1block"
+# can A/B the variants without threading a parameter through every caller.
+# 'pipe2' is the measured winner at the production SD shape (B24 H8 L4096
+# D40, projections+kernel+out-proj scan): 13.31 ms/iter vs 13.38 'mxsum'
+# vs 15.32 '1block' (BENCH_DETAIL attn_long_kernel_sweep) — folding the
+# softmax row sum into the PV matmul deletes a VPU reduce over the
+# (bq, lk) probs tile, and the two independent half-chains let Mosaic
+# overlap one half's softmax (VPU) with the other's matmuls (MXU).
+_LONG_IMPL = "pipe2"
+
+# q-block rows per program for the long-row path (grid parallelism vs
+# per-chain matmul size trade; swept on-chip by scripts/bench_attn_kernel.py
+# together with the kernel variant — BENCH_DETAIL attn_long_blockq_sweep:
+# pipe2 at bq 256/512/1024 = 14.29/13.31/13.14 ms/iter, pipe4 =
+# 15.63/13.80/13.17). 1024 = the measured best: fewer, larger programs
+# keep the MXU on one (1024-row) score tile longer per kv stream pass.
+_LONG_BLOCK_Q = 1024
 
 
 def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
@@ -448,7 +472,7 @@ def flash_mha_bhld(
         sm_scale = d**-0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block_q = block_q or min(512, lq)
+    block_q = block_q or min(_LONG_BLOCK_Q if lk > 1024 else 512, lq)
     if lk <= 1024:
         block_k = lk
     else:
@@ -501,7 +525,7 @@ def flash_mha(
     # Measured on v5e at (24, 4096, 8, 40): full-row kv blocks win (13.8 ms
     # vs 15.7 at 1024/1024) — one softmax pass, no online rescaling rounds.
     # Scores tile 512x4096 fp32 = 8 MB VMEM, well within budget.
-    block_q = block_q or min(512, lq)
+    block_q = block_q or min(_LONG_BLOCK_Q if lk > 1024 else 512, lq)
     if lk <= 1024:
         # short kv (77-token text cross-attention, 16x16/8x8 self levels):
         # the whole row is one block for the all-heads kernel. XLA's einsum

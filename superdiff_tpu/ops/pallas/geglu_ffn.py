@@ -100,14 +100,15 @@ def _reference_block(x, gamma, beta, w1, b1, w2, b2, eps, approximate):
 
 
 # Number of independent row-chain splits inside one FFN kernel program.
-# 1 = the production single chain. 2 = split the row block into halves whose
+# 1 = single chain. 2 = split the row block into halves whose
 # matmul->gelu->matmul chains carry no data dependency, giving Mosaic's
 # scheduler the slack to overlap one half's gelu (VPU) with the other
 # half's matmuls (MXU) — inside a single chain the units strictly
-# serialize, so every VPU pass is added latency (~5.6 ms of the 25.2 ms
-# tier at batch 24). Module-level so scripts/bench_ffn_pipe.py can A/B it
-# on the chip without threading a parameter through the UNet.
-_PIPE = 1
+# serialize, so every VPU pass is added latency. Module-level so
+# scripts/bench_ffn_pipe.py can A/B it on the chip. On-chip sweep
+# (BENCH_DETAIL ffn_pipe_sweep, B24 production shapes): pipe2 4.79 vs
+# 4.92 ms (L0) and 3.95 vs 3.96 (L1); pipe4 regresses — 2 is default.
+_PIPE = 2
 
 
 def _kernel(x_ref, g_ref, be_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,

@@ -78,9 +78,22 @@ def sd_trajectories():
     from superdiff_tpu.models.sd.vae import VAEConfig
     from superdiff_tpu.pipelines import sd as sdp
 
+    import dataclasses
+
+    # Pinned to the pure-XLA lowering (einsum attention/FFN, repeat
+    # upsampler): the golden guards the sampler/UNet *math and RNG
+    # semantics*, so it must not move when a Pallas kernel micro-changes
+    # (it was regenerated twice in round 3 for exactly that reason —
+    # ADVICE r3 #4). The production kernels ('flash_eo', 'fused',
+    # 'subpixel', pipe/long-impl variants) are each bridged to this
+    # lowering by the equivalence tests in tests/test_pallas.py, including
+    # the all-levers-combined full-UNet test.
     mod = sdp.build_sd_modules(
         jax.random.PRNGKey(0),
-        unet_config=SDUNetConfig.tiny(),
+        unet_config=dataclasses.replace(
+            SDUNetConfig.tiny(), attn_impl="einsum", ffn_impl="einsum",
+            upsample_impl="repeat",
+        ),
         text_config=CLIPTextConfig.tiny(),
         vae_config=VAEConfig.tiny(),
         height=64, width=64,

@@ -148,11 +148,12 @@ def test_flash_attention_native_long_kv_kernel():
 
 def test_flash_attention_long_kernel_variants_match_reference():
     """The single-kv-block kernel variants for long rows — 'mxsum' (softmax
-    normalizer folded into the PV matmul via a ones column on V) and 'pipe2'
-    (two interleaved half-block chains so the scheduler can overlap VPU
-    softmax with MXU matmuls) — must match the reference and stay within the
-    baseline kernel's tolerance. fp32 inputs make mxsum's normalizer
-    mathematically identical to the baseline's (no probs quantization)."""
+    normalizer folded into the PV matmul via a ones column on V) and
+    'pipe2'/'pipe4' (interleaved independent sub-block chains so the
+    scheduler can overlap VPU softmax with MXU matmuls) — must match the
+    reference and stay within the baseline kernel's tolerance. fp32 inputs
+    make mxsum's normalizer mathematically identical to the baseline's (no
+    probs quantization)."""
     import superdiff_tpu.ops.pallas.flash_attention as fa
 
     b, l, h, d = 1, 2048, 2, 40
@@ -161,7 +162,7 @@ def test_flash_attention_long_kernel_variants_match_reference():
     ref = fa._reference(q, k, v, d**-0.5)
     prev = fa._LONG_IMPL
     try:
-        for impl in ("1block", "mxsum", "pipe2"):
+        for impl in ("1block", "mxsum", "pipe2", "pipe4"):
             fa._LONG_IMPL = impl
             out = fa.flash_mha(q, k, v, interpret=True)
             np.testing.assert_allclose(
