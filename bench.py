@@ -121,11 +121,13 @@ def main():
         s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
     )
     # Defaults are the measured winners (flash_eo + subpixel + dedup +
-    # pipe2 long-attention kernel); levers now A/B *away* from them.
+    # pvt1 long-attention kernel); levers now A/B *away* from them.
     known = {
         "flash", "flash_nat", "flash_eo", "subpixel", "repeat", "no_dedup",
         "long_1block", "long_mxsum", "long_pipe2", "long_pipe4",
+        "long_pvt1", "long_pvt2",
         "batch4", "batch12", "batch16",
+        "bq512", "bq1024", "bq2048",
     }
     unknown = [s for s in levers if s not in known]
     if unknown:
@@ -149,6 +151,12 @@ def main():
             from superdiff_tpu.ops.pallas import flash_attention as _fa
 
             _fa._LONG_IMPL = lv[len("long_"):]
+        elif lv.startswith("bq"):
+            # long-attention q-block rows per program (the
+            # attn_long_blockq_sweep lever, pvt1 best at 2048)
+            from superdiff_tpu.ops.pallas import flash_attention as _fa
+
+            _fa._LONG_BLOCK_Q = int(lv[len("bq"):])
         elif lv.startswith("batch"):
             # latent batch sweep (forward batch = 3x with dedup): batch 8
             # was tuned before flash_eo/pipe2/subpixel shifted the cost

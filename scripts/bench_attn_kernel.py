@@ -12,6 +12,10 @@ over the (block_q, lk) probs tile is added latency. Variants:
           (lane 40..127 of the PV output are padding either way)
   pipe2   mxsum + two independent half-block chains, interleaved so the
           scheduler can overlap one half's VPU softmax with the other's MXU
+  pvt1/2  transposed-PV: o^T = [V|1]^T p^T puts head_dim on MXU sublanes
+          (41 -> 48 pad) instead of lanes (41 -> 128), ~31% fewer MXU units
+          per chain; costs a sublane softmax reduce + in-kernel output
+          transpose (the V^T feed itself fuses into the projection einsum)
 
 Times the production attn1 pattern (projections + kernel + out-proj) inside
 a 10-iter scan at the SD L0 shape (B=24, L=4096, C=320, H=8), both the
@@ -92,7 +96,13 @@ def main():
 
     results = {}
     ref = None
-    for impl in ("1block", "mxsum", "pipe2"):
+    prev_bq = fa._LONG_BLOCK_Q
+    # variant comparison pinned at bq512: '1block' keeps fp32 probs, whose
+    # (bq, lk) score+probs tiles blow the 16 MB scoped-vmem stack at the
+    # promoted bq1024 default (measured compile OOM at 20.86 MB) — 512 is
+    # the like-for-like point every variant compiles at.
+    fa._LONG_BLOCK_Q = 512
+    for impl in ("1block", "mxsum", "pipe2", "pvt1", "pvt2"):
         fa._LONG_IMPL = impl
         for tag, body in (("flash", attn_flash), ("flash_eo", attn_flash_eo)):
             # a fresh jit around a fresh closure per variant: _LONG_IMPL is
@@ -112,10 +122,9 @@ def main():
     # programs to schedule across the cores) against per-chain matmul size;
     # pipe4 halves the chain size again at fixed block_q.
     bq_results = {}
-    prev_bq = fa._LONG_BLOCK_Q
-    for impl in ("pipe2", "pipe4"):
+    for impl in ("pipe2", "pipe4", "pvt1", "pvt2"):
         fa._LONG_IMPL = impl
-        for bq in (256, 512, 1024):
+        for bq in (256, 512, 1024, 2048):
             fa._LONG_BLOCK_Q = bq
             dt = timeit(f"{impl} / bq{bq} / flash_eo", scan(attn_flash_eo), x)
             bq_results[f"{impl}_bq{bq}"] = round(dt, 2)

@@ -190,31 +190,96 @@ def _make_pipe_kernel(n_chains):
     return kernel
 
 
+def _make_pvt_kernel(n_chains):
+    """Transposed-PV variant of the pipe kernels: computes ``o^T = [V|1]^T
+    p^T`` so the head_dim-41 output dimension lands on MXU *sublanes*
+    (41 -> 48, 1.17x pad) instead of *lanes* (41 -> 128, 3.1x pad).
+
+    The head-packing analysis (STATUS.md) shows lane padding at head_dim
+    40 is geometric for any layout that keeps the head dim on lanes; this
+    variant instead moves it to the 8-granular sublane axis. Per chain at
+    (bq, lk, d) = (1024, 4096, 40), in (M/8)*ceil(K/128)*ceil(N/128) MXU
+    units: scores K q^T (lk/8)*1*(bq/128) = 4096 (identical to q K^T —
+    the d=40 *contraction* pad is unavoidable), but PV drops from
+    (bq/8)*(lk/128)*ceil(41/128 -> 1) = 4096 to transposed
+    (ceil(48/8))*(lk/128)*(bq/128) = 1536: ~31% fewer MXU units total.
+    Costs: V arrives transposed (one XLA layout copy per layer — removable
+    by emitting the v projection as ``blc,chd->bhdl``), the softmax
+    reduces across sublanes instead of lanes, and each chain ends with a
+    small (d, step) -> (step, d) in-kernel transpose of the fp32 output.
+
+    Numerics match ``mxsum`` exactly: same bf16 probs feed numerator and
+    normalizer (the ones now a *row* of V^T), fp32 MXU accumulation."""
+
+    def kernel(q_ref, k_ref, vt_ref, o_ref, *, scale):
+        k = k_ref[0, 0, :, :]   # (lk, d)
+        vt = vt_ref[0, 0, :, :]  # (d, lk)
+        d = vt.shape[0]
+        vt_ext = jnp.pad(vt, ((0, 1), (0, 0)), constant_values=1.0)
+        bq = q_ref.shape[2]
+        step = bq // n_chains
+
+        def chain(q):  # q: (step, d), pre-scaled
+            st = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (lk, step) fp32, base-2 logits
+            m = jnp.max(st, axis=0, keepdims=True)  # (1, step)
+            pt = jnp.exp2(st - m).astype(vt.dtype)  # (lk, step)
+            return jax.lax.dot_general(
+                vt_ext, pt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d+1, step): [:d] = numerator^T, [d] = row sums
+
+        scale_c = jnp.asarray(scale, q_ref.dtype)
+        ots = [
+            chain(q_ref[0, 0, i * step:(i + 1) * step, :] * scale_c)
+            for i in range(n_chains)
+        ]
+        for i, ot in enumerate(ots):
+            o_ref[0, 0, i * step:(i + 1) * step, :] = (
+                (ot[:d] / ot[d:d + 1]).T
+            ).astype(o_ref.dtype)
+
+    kernel.__name__ = f"_kernel_1block_pvt{n_chains}"
+    return kernel
+
+
 _LONG_KERNELS = {
     "1block": _kernel_1block,
     "mxsum": _kernel_1block_mxsum,
     "pipe2": _make_pipe_kernel(2),
     "pipe4": _make_pipe_kernel(4),
+    "pvt1": _make_pvt_kernel(1),
+    "pvt2": _make_pvt_kernel(2),
 }
 
 # Default single-kv-block kernel for long rows (the L=4096 self-attention
 # path). Module-level so the on-chip sweep (scripts/bench_attn_kernel.py)
 # can A/B the variants without threading a parameter through every caller.
-# 'pipe2' is the measured winner at the production SD shape (B24 H8 L4096
-# D40, projections+kernel+out-proj scan): 13.31 ms/iter vs 13.38 'mxsum'
-# vs 15.32 '1block' (BENCH_DETAIL attn_long_kernel_sweep) — folding the
-# softmax row sum into the PV matmul deletes a VPU reduce over the
-# (bq, lk) probs tile, and the two independent half-chains let Mosaic
-# overlap one half's softmax (VPU) with the other's matmuls (MXU).
-_LONG_IMPL = "pipe2"
+# 'pvt1' at block_q 1024 is the measured winner at the production SD shape
+# (B24 H8 L4096 D40, projections+kernel+out-proj scan, BENCH_DETAIL
+# attn_long_blockq_sweep): 12.04 ms/iter vs 13.12 'pipe2' / 13.09 'pipe4'
+# / 15.20 '1block' — transposing the PV matmul moves the head_dim-41
+# output axis from 128-lane padding to 8-sublane padding (~2.7x fewer MXU
+# tiles on the PV pass); one full-block chain amortizes the transposed
+# score tile best (pvt2's split chains lose: 12.30).
+_LONG_IMPL = "pvt1"
 
 # q-block rows per program for the long-row path (grid parallelism vs
 # per-chain matmul size trade; swept on-chip by scripts/bench_attn_kernel.py
 # together with the kernel variant — BENCH_DETAIL attn_long_blockq_sweep:
-# pipe2 at bq 256/512/1024 = 14.29/13.31/13.14 ms/iter, pipe4 =
-# 15.63/13.80/13.17). 1024 = the measured best: fewer, larger programs
+# pvt1 at bq 256/512/1024 = 15.51/13.70/12.04 ms/iter, pipe2 =
+# 14.65/13.75/13.12). 1024 = the measured best: fewer, larger programs
 # keep the MXU on one (1024-row) score tile longer per kv stream pass.
 _LONG_BLOCK_Q = 1024
+
+# kv-length ceiling for the all-heads-per-program kernel (_kernel_mh);
+# single-block rows longer than this route to the per-head _LONG_KERNELS
+# path. Module-level so scripts/bench_attn_mid.py can A/B the routing of
+# the mid tier (L=1024, head_dim 80 — the SD 32x32 self level) between
+# the mh kernel and the long/pvt kernels on the chip.
+_MH_MAX_KV = 1024
 
 
 def _kernel_mh(q_ref, k_ref, v_ref, o_ref, *, heads, scale):
@@ -289,7 +354,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
     # each kernel (scaling here would materialize a scaled copy of q in HBM)
     scale = float(sm_scale * _LOG2_E)
     grid = (b, h, n_q, n_k)
-    if n_k == 1 and lk <= 1024:
+    if n_k == 1 and lk <= _MH_MAX_KV:
         # short kv: amortize per-program overhead over all heads
         return pl.pallas_call(
             functools.partial(_kernel_mh, heads=h, scale=scale),
@@ -307,6 +372,34 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
             interpret=interpret,
         )(q, k, v)
     if n_k == 1:
+        if _LONG_IMPL.startswith("pvt"):
+            # the transposed-PV kernels consume V as (B, H, D, L). The
+            # wrapper-side transpose is NOT a runtime copy on the flash_eo
+            # path: XLA folds it into the preceding projection einsum
+            # (``blc,chd->bhld`` simply becomes ``blc,chd->bhdl``).
+            vt = v.transpose(0, 1, 3, 2)
+            return pl.pallas_call(
+                functools.partial(_LONG_KERNELS[_LONG_IMPL], scale=scale),
+                out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+                grid=(b, h, n_q),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0)),
+                    pl.BlockSpec((1, 1, block_k, d), lambda b, h, i: (b, h, 0, 0)),
+                    pl.BlockSpec((1, 1, d, block_k), lambda b, h, i: (b, h, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, block_q, d), lambda b, h, i: (b, h, i, 0)
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "parallel"),
+                    # the transposed (lk, step) fp32 score tile is 16 MB at
+                    # (4096, 1024) — past the 16 MB default scoped-vmem
+                    # stack; v5e has 128 MB of VMEM (same rationale as the
+                    # GEGLU block kernel).
+                    vmem_limit_bytes=96 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(q, k, vt)
         return pl.pallas_call(
             functools.partial(_LONG_KERNELS[_LONG_IMPL], scale=scale),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -319,6 +412,11 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
             out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
+                # the (block_q, lk) fp32 score tiles pass the 16 MB default
+                # scoped-vmem stack above bq 512 ('1block' keeps fp32 probs:
+                # 2 tiles) and at the swept bq 2048 chain shapes; v5e has
+                # 128 MB of VMEM (same rationale as the GEGLU block kernel).
+                vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
         )(q, k, v)

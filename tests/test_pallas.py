@@ -162,7 +162,7 @@ def test_flash_attention_long_kernel_variants_match_reference():
     ref = fa._reference(q, k, v, d**-0.5)
     prev = fa._LONG_IMPL
     try:
-        for impl in ("1block", "mxsum", "pipe2", "pipe4"):
+        for impl in ("1block", "mxsum", "pipe2", "pipe4", "pvt1", "pvt2"):
             fa._LONG_IMPL = impl
             out = fa.flash_mha(q, k, v, interpret=True)
             np.testing.assert_allclose(

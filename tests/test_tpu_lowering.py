@@ -90,11 +90,12 @@ def test_flash_mha_lowers_for_tpu(lk, native_long_kv):
     )
 
 
-@pytest.mark.parametrize("impl", ["mxsum", "pipe2"])
+@pytest.mark.parametrize("impl", ["mxsum", "pipe2", "pvt2"])
 def test_flash_long_kernel_variants_lower_for_tpu(impl):
     """The single-kv-block variants build a (lk, d+1) ones-extended V via a
     lane-dim pad INSIDE the kernel — a lowering-risk op Mosaic must accept
-    at the real SD L0 shape."""
+    at the real SD L0 shape. 'pvt2' additionally pads on sublanes and ends
+    with an in-kernel (d, step) -> (step, d) fp32 transpose."""
     import superdiff_tpu.ops.pallas.flash_attention as fa
 
     b, lq, h, d = 2, 4096, 8, 40
