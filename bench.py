@@ -121,7 +121,7 @@ def main():
         s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
     )
     # Defaults are the measured winners (flash_eo + subpixel + dedup +
-    # pvt1 long-attention kernel); levers now A/B *away* from them.
+    # pvt1 long-attention kernel at block_q 2048); levers A/B *away* from them.
     known = {
         "flash", "flash_nat", "flash_eo", "subpixel", "repeat", "no_dedup",
         "long_1block", "long_mxsum", "long_pipe2", "long_pipe4",

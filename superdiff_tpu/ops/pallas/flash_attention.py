@@ -269,10 +269,13 @@ _LONG_IMPL = "pvt1"
 # q-block rows per program for the long-row path (grid parallelism vs
 # per-chain matmul size trade; swept on-chip by scripts/bench_attn_kernel.py
 # together with the kernel variant — BENCH_DETAIL attn_long_blockq_sweep:
-# pvt1 at bq 256/512/1024 = 15.51/13.70/12.04 ms/iter, pipe2 =
-# 14.65/13.75/13.12). 1024 = the measured best: fewer, larger programs
-# keep the MXU on one (1024-row) score tile longer per kv stream pass.
-_LONG_BLOCK_Q = 1024
+# pvt1 at bq 256/512/1024/2048 = 15.61/13.68/12.47/11.73 ms/iter, pipe2 =
+# 14.60/13.80/13.07/12.91). 2048 = the measured best for the promoted pvt1
+# kernel (headline A/B `sd_headline_bq2048`: 1.0023 vs 0.9889 img/s at
+# 1024): at L=4096 only 2 programs per (b, h) remain, but the transposed
+# (lk, step) score tile amortizes the kv stream best; block_q is clamped
+# to the row length for shorter sequences.
+_LONG_BLOCK_Q = 2048
 
 # kv-length ceiling for the all-heads-per-program kernel (_kernel_mh);
 # single-block rows longer than this route to the per-head _LONG_KERNELS
