@@ -15,13 +15,19 @@ rule routes forward-mode through the einsum path so the ODE Itô estimator
 differentiates cleanly while sampling still gets the fused kernel).
 
 The public API takes (batch, seq, heads, head_dim) — the UNet's native
-layout. Three kernel variants, chosen by kv length:
+layout. Routing by kv length:
 
-* kv <= 256 (text cross-attention kv=77, 16x16/8x8 self levels):
-  ``_kernel_mh_nat`` — all heads per program via static lane slices of the
-  packed (B, L, H*D) views; zero transposes, softmax entirely in VMEM.
-* 256 < kv <= block_k (one kv block, e.g. L=4096 self): ``_kernel_1block``
-  on (B, H, L, D) — per-head grid, single-pass softmax, no online carry.
+* kv <= 256 (text cross-attention kv=77, 16x16/8x8 self levels): plain
+  XLA einsum — measured fastest at every short-kv tier (BENCH_DETAIL
+  ``attn_cross_routing_sweep``; the padded logits are small enough that
+  XLA's fusions win). Two Pallas kernels remain as swept levers
+  (``_CROSS_IMPL``): ``_kernel_mh_nat`` (packed views, per-head lane
+  slices — pays Mosaic shuffles at head_dim 40) and
+  ``_kernel_cross_packed`` (block-diagonal packed operands, shuffle-free).
+* 256 < kv <= block_k (one kv block, e.g. L=4096 self): the
+  ``_LONG_KERNELS`` family on (B, H, L, D) — per-head grid, single-pass
+  softmax; default ``pvt1`` computes the PV matmul transposed so the
+  head_dim-41 output pad rides sublanes (1.17x) instead of lanes (3.1x).
   The transpose is forced by Mosaic's lane-block rule (128-multiple or the
   full dim): per-head lane slicing at head_dim 40 is not lowerable.
 * multi-block kv: ``_kernel`` — the classic online-softmax flash loop with
@@ -252,7 +258,14 @@ _LONG_KERNELS = {
     "pipe4": _make_pipe_kernel(4),
     "pvt1": _make_pvt_kernel(1),
     "pvt2": _make_pvt_kernel(2),
+    "pvt4": _make_pvt_kernel(4),
 }
+
+# Scoped-VMEM ceiling for the long-row kernels. 96 MB covers every promoted
+# configuration; the bq-4096 sweep candidates (scripts/bench_attn_kernel.py)
+# need the full budget for their (lk, step) fp32 score tiles — module-level
+# so the sweep can raise it without threading a parameter through callers.
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 
 # Default single-kv-block kernel for long rows (the L=4096 self-attention
 # path). Module-level so the on-chip sweep (scripts/bench_attn_kernel.py)
@@ -343,6 +356,126 @@ def _kernel_mh_nat(q_ref, k_ref, v_ref, o_ref, *, heads, head_dim, scale):
         o_ref[0, :, sl] = (pv / l).astype(o_ref.dtype)
 
 
+# Short-kv (kv <= 256: the 77-token text cross-attention and the
+# 16x16/8x8 self levels) routing. 'einsum' = plain XLA attention — the
+# measured winner at every tier (BENCH_DETAIL attn_cross_routing_sweep:
+# pattern-minus-floor at L4096/C320: einsum 1.08 ms vs xpk 1.50 vs nat
+# 1.69; L1024 and L256: einsum is free). The kv=77 logits tensor is small
+# enough that XLA's fusions never materially touch HBM; the Pallas
+# kernels stay as levers: 'nat' = per-head lane-slicing _kernel_mh_nat
+# (pays Mosaic cross-lane shuffles at head_dim 40), 'xpk' = the
+# block-diagonal packed kernel below (shuffle-free but ~3x the per-head
+# ideal MXU tiles). Module-level so scripts/bench_attn_cross.py can A/B
+# them on the chip.
+_CROSS_IMPL = "einsum"
+_CROSS_BLOCK_Q = 1024
+
+
+def _kernel_cross_packed(q_ref, kt_ref, v_ref, s_ref, e_ref, o_ref, *,
+                         heads, blk, lk, scale):
+    """Block-diagonal packed cross-attention: every tensor stays in the
+    (rows, packed-channels) layout and every per-head operation lands on a
+    128-aligned lane tile — zero cross-lane shuffles.
+
+    The nat kernel (``_kernel_mh_nat``) slices the packed (bq, H*D) tile
+    per head at head_dim (40) lane granularity; Mosaic lowers each
+    misaligned slice to cross-lane shuffles, measured ~10x the HBM bound
+    at the SD L0 cross-attention shape (BENCH_DETAIL
+    ``attn_cross_routing_sweep``: even XLA's materialized-logits einsum
+    beats it). Here the wrapper embeds K and V into *block-diagonal*
+    operands with one 128-padded kv block per head:
+
+      kt[(h', j), (h, i)] = K[i, h, j] * δ(h, h')   (C, H*blk)
+      v [(h, i), (h', j)] = V[i, h, j] * δ(h, h')   (H*blk, C)
+
+    so ONE matmul ``q3 @ kt`` yields every head's scores in lane block h,
+    and ONE matmul ``p @ v`` yields the packed (bq, C) output with each
+    head's 40 channels already in place. The per-head softmax uses
+    128-aligned lane slices of the (bq, H*blk) score tile (aligned slices
+    are whole-tile selections — free). The normalizer rides two small
+    matmuls: ``l = p @ s`` collapses each head's block to one column
+    (s[(h,i), h'] = δ(h,h')), ``den = l @ e`` broadcasts it back over the
+    head's channels (e[h, (h',j)] = δ(h,h')), so the division is a plain
+    aligned (bq, C) elementwise op.
+
+    MXU cost is ~3x the per-head ideal (the block-diagonal operands carry
+    H x the tiles), but the ideal is negligible at kv<=128 — the kernel
+    is bandwidth/latency-bound and the shuffles it deletes dominate.
+
+    Numerics: per-head max subtraction (exact softmax); the padding rows'
+    logits are 0 (zero kt columns), so the max is taken over
+    max(real, 0) — a valid shift — and the pad probs are zeroed before
+    the PV matmuls."""
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, kt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, heads*blk) fp32, base-2 logits; pad columns exactly 0
+    valid = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], blk), 1) < lk
+    parts = []
+    for h in range(heads):
+        sh = s[:, h * blk:(h + 1) * blk]  # 128-aligned lane slice: free
+        mh = jnp.max(sh, axis=1, keepdims=True)  # >= true max (pads are 0)
+        parts.append(jnp.where(valid, jnp.exp2(sh - mh), 0.0))
+    p = jnp.concatenate(parts, axis=1).astype(v_ref.dtype)
+    num = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, C) packed numerators
+    l = jax.lax.dot_general(
+        p, s_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, heads) row sums
+    den = jax.lax.dot_general(
+        l.astype(e_ref.dtype), e_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, C): head h's sum broadcast over its 40 channels
+    o_ref[0] = (num / den).astype(o_ref.dtype)
+
+
+def _cross_packed(q, k, v, scale, block_q, interpret):
+    """Wrapper for ``_kernel_cross_packed``: builds the block-diagonal
+    operands (cheap at kv <= 128: ~16-32 MB per SD layer, one XLA
+    broadcast-multiply each) and keeps q/o in the packed (B, L, C) layout
+    the projections produce — no head_dim lane padding on the big streams.
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    c = h * d
+    blk = 128
+    q3 = q.reshape(b, lq, c)
+    eye = jnp.eye(h, dtype=k.dtype)
+    kp = jnp.pad(k, ((0, 0), (0, blk - lk), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, blk - lk), (0, 0), (0, 0)))
+    kt = jnp.einsum("bihd,hg->bgdhi", kp, eye).reshape(b, c, h * blk)
+    vt = jnp.einsum("bihd,hg->bhigd", vp, eye).reshape(b, h * blk, c)
+    s_mat = jnp.kron(eye, jnp.ones((blk, 1), k.dtype))  # (h*blk, h)
+    e_mat = jnp.kron(eye, jnp.ones((1, d), k.dtype))  # (h, c)
+    bq = min(block_q, lq)
+    while lq % bq:
+        bq //= 2
+    n_q = lq // bq
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_cross_packed, heads=h, blk=blk, lk=lk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q3.dtype),
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, c, h * blk), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, h * blk, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((h * blk, h), lambda b, i: (0, 0)),
+            pl.BlockSpec((h, c), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q3, kt, vt, s_mat, e_mat)
+    return out.reshape(b, lq, h, d)
+
+
 _LOG2_E = 1.4426950408889634
 
 
@@ -399,7 +532,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
                     # (4096, 1024) — past the 16 MB default scoped-vmem
                     # stack; v5e has 128 MB of VMEM (same rationale as the
                     # GEGLU block kernel).
-                    vmem_limit_bytes=96 * 1024 * 1024,
+                    vmem_limit_bytes=_VMEM_LIMIT_BYTES,
                 ),
                 interpret=interpret,
             )(q, k, vt)
@@ -419,7 +552,7 @@ def _flash_impl(q, k, v, sm_scale, block_q, block_k, interpret):
                 # scoped-vmem stack above bq 512 ('1block' keeps fp32 probs:
                 # 2 tiles) and at the swept bq 2048 chain shapes; v5e has
                 # 128 MB of VMEM (same rationale as the GEGLU block kernel).
-                vmem_limit_bytes=96 * 1024 * 1024,
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES,
             ),
             interpret=interpret,
         )(q, k, v)
@@ -500,14 +633,21 @@ def _flash(q, k, v, sm_scale, block_q, block_k, interpret, native_long_kv):
         if bq >= 8:
             return _flash_nat_packed(q, k, v, scale, bq, interpret)
     if block_k == lk and lk <= 256:
-        # short kv (cross-attention kv=77, 16x16/8x8 self levels): the
-        # native-layout all-heads kernel on packed (B, L, H*D) views
-        # (reshape is a free bitcast; no transposes). Mosaic requires lane
-        # blocks to be 128-multiples or the full dim, so per-head lane
-        # slicing (head_dim 40) is only legal with the full H*D block —
-        # here the per-head score tiles of the unrolled head loop stay
-        # small at the full-row q block.
-        return _flash_nat_packed(q, k, v, scale, block_q, interpret)
+        # short kv (cross-attention kv=77, 16x16/8x8 self levels):
+        # XLA einsum is the measured winner at every short-kv tier (see
+        # _CROSS_IMPL); the Pallas kernels remain as swept levers.
+        if _CROSS_IMPL == "xpk" and lk <= 128 and lq >= 4 * h * 128:
+            # block-diagonal packed kernel — zero lane shuffles, q/o stay
+            # packed. Gated on lq >> H*blk so the block-diagonal K/V
+            # construction (4*C*H*128 bytes of HBM per layer) is small
+            # against the q/o streams it optimizes.
+            return _cross_packed(q, k, v, scale, _CROSS_BLOCK_Q, interpret)
+        if _CROSS_IMPL == "nat" or (_CROSS_IMPL == "xpk" and lk <= 256):
+            # native-layout all-heads kernel on packed (B, L, H*D) views
+            # (zero transposes, but per-head 40-lane slices cost Mosaic
+            # cross-lane shuffles on long rows)
+            return _flash_nat_packed(q, k, v, scale, block_q, interpret)
+        return _reference(q, k, v, sm_scale)
     out = _flash_impl(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
         sm_scale, block_q, block_k, interpret,
@@ -600,12 +740,12 @@ def flash_mha(
 ) -> Array:
     """Multi-head attention ``softmax(q k^T * sm_scale) v``, (B, L, H, D).
 
-    Three-kernel dispatch by kv length (see the module docstring):
-    kv <= 256 routes to the native-layout all-heads kernel on packed
-    (B, L, H*D) views (zero transposes); 256 < kv <= 1024 (one kv block)
-    to the single-pass per-head kernel; longer kv to the online-softmax
-    flash loop. kv <= 1024 always uses the full row as the kv block —
-    a caller-supplied ``block_k`` only takes effect on the multi-block
+    Dispatch by kv length (see the module docstring): kv <= 256 routes
+    to plain XLA einsum (the measured winner at short kv; Pallas levers
+    via ``_CROSS_IMPL``); 256 < kv <= 1024 (one kv block) to the
+    single-pass per-head kernel; longer kv to the online-softmax flash
+    loop. kv <= 1024 always uses the full row as the kv block — a
+    caller-supplied ``block_k`` only takes effect on the multi-block
     path. Falls back to the einsum reference when the sequence doesn't
     tile (block_q < 8, or a non-full kv block < 128 lanes) or when
     running off-TPU without ``interpret``.
@@ -628,11 +768,9 @@ def flash_mha(
     # Scores tile 512x4096 fp32 = 8 MB VMEM, well within budget.
     block_q = block_q or min(_LONG_BLOCK_Q if lk > 1024 else 512, lq)
     if lk <= 1024:
-        # short kv (77-token text cross-attention, 16x16/8x8 self levels):
-        # the whole row is one block for the all-heads kernel. XLA's einsum
-        # path materializes fp32 logits through HBM even at kv=77 (measured
-        # 2.3 ms/layer at L=4096 — ~1 GB of score traffic); the kernel keeps
-        # them in VMEM. This deliberately overrides any caller block_k.
+        # kv fits one block: the whole row is the kv block (single-pass
+        # softmax for the mid kernels; kv <= 256 routes to einsum inside
+        # _flash). This deliberately overrides any caller block_k.
         block_k = lk
     else:
         block_k = block_k or min(4096, lk)
