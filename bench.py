@@ -120,14 +120,19 @@ def main():
     levers = sorted(
         s for s in _os.environ.get("SUPERDIFF_BENCH_LEVERS", "").split(",") if s
     )
-    # Defaults are the measured winners (flash_eo + subpixel + dedup +
-    # pvt1 long-attention kernel at block_q 2048); levers A/B *away* from them.
+    # Defaults are the measured winners (flash_eod + subpixel + dedup +
+    # pvtd2 d-major long-attention kernel at block_q 4096 + short-kv
+    # einsum); levers A/B *away* from them.
     known = {
-        "flash", "flash_nat", "flash_eo", "subpixel", "repeat", "no_dedup",
+        "flash", "flash_nat", "flash_eo", "flash_eod", "subpixel", "repeat",
+        "no_dedup",
         "long_1block", "long_mxsum", "long_pipe2", "long_pipe4",
         "long_pvt1", "long_pvt2",
+        "eod_pvtd1", "eod_pvtd2",
+        "cross_nat", "cross_xpk", "cross_einsum",
         "batch4", "batch12", "batch16",
-        "bq512", "bq1024", "bq2048",
+        "bq512", "bq1024", "bq2048", "bq4096",
+        "eodbq1024", "eodbq2048", "eodbq4096",
     }
     unknown = [s for s in levers if s not in known]
     if unknown:
@@ -142,6 +147,8 @@ def main():
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_nat")
     if "flash_eo" in levers:
         ucfg = dataclasses.replace(ucfg, attn_impl="flash_eo")
+    if "flash_eod" in levers:
+        ucfg = dataclasses.replace(ucfg, attn_impl="flash_eod")
     if "repeat" in levers:
         ucfg = dataclasses.replace(ucfg, upsample_impl="repeat")
     if "subpixel" in levers:
@@ -151,6 +158,21 @@ def main():
             from superdiff_tpu.ops.pallas import flash_attention as _fa
 
             _fa._LONG_IMPL = lv[len("long_"):]
+        elif lv.startswith("eod_"):
+            from superdiff_tpu.ops.pallas import flash_attention as _fa
+
+            _fa._EOD_IMPL = lv[len("eod_"):]
+        elif lv.startswith("cross_"):
+            # short-kv (cross-attention) routing: einsum default,
+            # nat/xpk Pallas levers (attn_cross_routing_sweep)
+            from superdiff_tpu.ops.pallas import flash_attention as _fa
+
+            _fa._CROSS_IMPL = lv[len("cross_"):]
+        elif lv.startswith("eodbq"):
+            # d-major long-attention q block (attn_long_eod_sweep)
+            from superdiff_tpu.ops.pallas import flash_attention as _fa
+
+            _fa._EOD_BLOCK_Q = int(lv[len("eodbq"):])
         elif lv.startswith("bq"):
             # long-attention q-block rows per program (the
             # attn_long_blockq_sweep lever, pvt1 best at 2048)

@@ -109,6 +109,11 @@ def main():
             return "geglu-ffn-kernels"
         if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")) or ".fusion" in n:
             return "fusion(conv/matmul/elem)"
+        if "convert" in n:
+            # convert_reduce_fusion etc. are GN-stat/elementwise fusions;
+            # a bare "conv" substring test lumped ~5 ms of them into the
+            # convolution tier
+            return "reduce/norm" if "reduce" in n else "other"
         if "convolution" in n or "conv" in n:
             return "convolution"
         if "dot" in n or "einsum" in n or "matmul" in n:

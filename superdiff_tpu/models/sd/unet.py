@@ -72,7 +72,12 @@ class SDUNetConfig:
     # BENCH_DETAIL sd_headline_flash_eo / trace_unet): einsum-layout
     # projections write q/k/v directly in the long-kv kernel's (B,H,L,D)
     # layout, deleting 4 layout copies per self-attention layer.
-    attn_impl: str = "flash_eo"
+    # 'flash_eod' (promoted after the next on-chip A/B, BENCH_DETAIL
+    # attn_long_eod_sweep: 10.97 vs 11.70 ms/iter at the L0 pattern)
+    # additionally keeps q/v/o in the d-major (B,H,D,L) layout on the
+    # 4096-token tier: head_dim 40 = 5 exact sublane tiles, so the
+    # projections and kernel streams run without the 40->128 lane pad.
+    attn_impl: str = "flash_eod"
     ffn_impl: str = "fused"
     # 'repeat' = nearest-2x repeat + 3x3 conv (the diffusers Upsample2D
     # semantics, literally); 'subpixel' (default after the on-chip A/B:
@@ -131,7 +136,32 @@ class CrossAttention(nn.Module):
         wk, = _KernelParams(ctx_dim, inner, name="to_k")()
         wv, = _KernelParams(ctx_dim, inner, name="to_v")()
         xc = x.astype(self.dtype)
-        if (self.attn_impl == "flash_eo" and context is None
+        if (self.attn_impl == "flash_eod" and context is None
+                and x.shape[1] > 256):
+            # 'flash_eod': the long self-attention tiers (4096- and
+            # 1024-token) in the d-major layout — q/v/o in (B,H,D,L), k
+            # in (B,H,L,D); per-tier kernel selection in flash_mha_eod. The
+            # projections write unpadded (head_dim 40 = 5 exact sublane
+            # tiles vs a 40->128 lane pad in bhld, which measured ~25%
+            # MFU as `convolution_bitcast_fusion` ops), the pvtd kernel
+            # consumes both layouts natively, and the out-projection
+            # contracts from d-major. A/B: BENCH_DETAIL
+            # attn_long_eod_sweep. Param tree unchanged.
+            from ...ops.pallas.flash_attention import flash_mha_eod
+
+            nh, hd = self.heads, head_dim
+            qt = jnp.einsum(
+                "blc,chd->bhdl", xc, wq.astype(self.dtype).reshape(-1, nh, hd))
+            k = jnp.einsum(
+                "blc,chd->bhld", xc, wk.astype(self.dtype).reshape(-1, nh, hd))
+            vt = jnp.einsum(
+                "blc,chd->bhdl", xc, wv.astype(self.dtype).reshape(-1, nh, hd))
+            ot = flash_mha_eod(qt, k, vt)
+            wo, bo = _DenseParams(inner, inner, name="to_out")()
+            return jnp.einsum(
+                "bhdl,hdc->blc", ot, wo.astype(self.dtype).reshape(nh, hd, -1)
+            ) + bo.astype(self.dtype)
+        if (self.attn_impl in ("flash_eo", "flash_eod") and context is None
                 and x.shape[1] > 256):
             # 'flash_eo' (einsum-layout-out, bench_attn_layout.py variant
             # (b), measured 15.00 vs 15.73 ms for (a) at B24/L4096): the
@@ -182,7 +212,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, lq, self.heads, head_dim)
         k = k.reshape(b, lk, self.heads, head_dim)
         v = v.reshape(b, lk, self.heads, head_dim)
-        if self.attn_impl in ("flash", "flash_nat", "flash_eo"):
+        if self.attn_impl in ("flash", "flash_nat", "flash_eo", "flash_eod"):
             # 'flash_eo' reaches here for cross-attention and short rows,
             # where the standard dispatch is already transpose-free
             from ...ops.pallas.flash_attention import flash_mha

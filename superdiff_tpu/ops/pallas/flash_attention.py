@@ -251,6 +251,64 @@ def _make_pvt_kernel(n_chains):
     return kernel
 
 
+def _make_pvtd_kernel(n_chains):
+    """d-major ('eod' layout) variant of the pvt kernels: q, v and o live
+    in (B, H, D, L) — head_dim on *sublanes* end to end.
+
+    The pvt kernels fixed the PV *compute* padding but kept the (B,H,L,D)
+    HBM layout, whose minor dim 40 pads to 128 lanes: every q/o stream
+    costs 3.2x HBM, and the projection einsums writing that layout measure
+    ~25% MFU (the ``convolution_bitcast_fusion`` ops in the trace). In
+    (B, H, D, L) the minor dim is L (no pad) and D=40 is exactly 5
+    sublane tiles (no pad): the q/o streams and their producing/consuming
+    einsums run unpadded. K deliberately STAYS (B, H, L, D): the scores
+    matmul's native MXU form is A=(lk, d) x B=(d, step) — contraction on
+    A's lanes and B's sublanes — so both dots in the chain take their
+    operands as laid out, and the per-chain output (d+1, step) is written
+    without the pvt kernels' final in-kernel transpose:
+
+      st = K qt         (lk, step)   [A = K (lk, d), B = qt (d, step)]
+      pt = exp2(st - max_0 st)
+      ot = [V^T; 1] pt  (d+1, step)  [A = vt_ext, B = pt]
+      o  = ot[:d] / ot[d]            (d, step) — already d-major
+
+    Numerics identical to pvt/mxsum: same bf16 probs feed numerator and
+    normalizer, fp32 MXU accumulation."""
+
+    def kernel(qt_ref, k_ref, vt_ref, o_ref, *, scale):
+        k = k_ref[0, 0, :, :]    # (lk, d)
+        vt = vt_ref[0, 0, :, :]  # (d, lk)
+        d = vt.shape[0]
+        vt_ext = jnp.pad(vt, ((0, 1), (0, 0)), constant_values=1.0)
+        bq = qt_ref.shape[3]
+        step = bq // n_chains
+
+        def chain(qt):  # (d, step), pre-scaled
+            st = jax.lax.dot_general(
+                k, qt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (lk, step) fp32, base-2 logits
+            m = jnp.max(st, axis=0, keepdims=True)  # (1, step)
+            pt = jnp.exp2(st - m).astype(vt.dtype)  # (lk, step)
+            return jax.lax.dot_general(
+                vt_ext, pt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d+1, step)
+
+        scale_c = jnp.asarray(scale, qt_ref.dtype)
+        ots = [
+            chain(qt_ref[0, 0, :, i * step:(i + 1) * step] * scale_c)
+            for i in range(n_chains)
+        ]
+        for i, ot in enumerate(ots):
+            o_ref[0, 0, :, i * step:(i + 1) * step] = (
+                ot[:d] / ot[d:d + 1]
+            ).astype(o_ref.dtype)
+
+    kernel.__name__ = f"_kernel_1block_pvtd{n_chains}"
+    return kernel
+
+
 _LONG_KERNELS = {
     "1block": _kernel_1block,
     "mxsum": _kernel_1block_mxsum,
@@ -259,6 +317,11 @@ _LONG_KERNELS = {
     "pvt1": _make_pvt_kernel(1),
     "pvt2": _make_pvt_kernel(2),
     "pvt4": _make_pvt_kernel(4),
+}
+
+_LONG_KERNELS_EOD = {
+    "pvtd1": _make_pvtd_kernel(1),
+    "pvtd2": _make_pvtd_kernel(2),
 }
 
 # Scoped-VMEM ceiling for the long-row kernels. 96 MB covers every promoted
@@ -725,6 +788,117 @@ def flash_mha_bhld(
     if block_q < 8 or (block_k < 128 and block_k != lk):
         return _reference_bhld(q, k, v, sm_scale)
     return _flash_bhld(q, k, v, sm_scale, block_q, block_k, interpret)
+
+
+# Kernel + q block for the d-major ('flash_eod') entry below; module-level
+# so the on-chip sweep (scripts/bench_attn_eod.py) can A/B them. pvtd2 at
+# bq4096 (two 2048-row chains per program, MXU/VPU-overlapped) is the
+# measured winner at the SD L0 pattern (BENCH_DETAIL attn_long_eod_sweep:
+# 10.97 ms/iter vs 11.09 pvtd1/bq2048, 11.70 bhld pvt1/bq2048). The mid
+# tier (kv <= 1024, e.g. L=1024/D=80) prefers a single chain at bq2048
+# (attn_eod_sweep_L1024_C640: pvtd1 3.52 vs pvtd2/bq4096 4.02 vs 3.70 for
+# the incumbent bhld mh kernel).
+_EOD_IMPL = "pvtd2"
+_EOD_BLOCK_Q = 4096
+_EOD_IMPL_MID = "pvtd1"
+_EOD_BLOCK_Q_MID = 2048
+
+
+def _reference_eod(qt: Array, k: Array, vt: Array, sm_scale: float) -> Array:
+    """Einsum attention in the d-major layout: qt/vt/out (B, H, D, L),
+    k (B, H, L, D)."""
+    logits = jnp.einsum(
+        "bhdq,bhkd->bhqk", qt, k).astype(jnp.float32) * sm_scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+    return jnp.einsum("bhqk,bhdk->bhdq", attn, vt)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_eod(qt, k, vt, sm_scale, block_q, interpret, impl):
+    b, h, d, lq = qt.shape
+    lk = k.shape[2]
+    scale = float(sm_scale * _LOG2_E)
+    return pl.pallas_call(
+        functools.partial(_LONG_KERNELS_EOD[impl], scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, qt.dtype),
+        grid=(b, h, lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, d, block_q), lambda b, h, i: (b, h, 0, i)),
+            pl.BlockSpec((1, 1, lk, d), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, d, lk), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, d, block_q), lambda b, h, i: (b, h, 0, i)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            # same rationale as the bhld long kernels: the (lk, step)
+            # fp32 score tile alone is 32 MB at (4096, 2048)
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(qt, k, vt)
+
+
+@_flash_eod.defjvp
+def _flash_eod_jvp(sm_scale, block_q, interpret, impl, primals, tangents):
+    """Forward-mode via the d-major einsum reference (same pattern as
+    ``_flash_jvp``: the ODE Itô estimator jvp's through the UNet)."""
+    return jax.jvp(
+        lambda qt, k, vt: _reference_eod(qt, k, vt, sm_scale),
+        primals, tangents,
+    )
+
+
+def flash_mha_eod(
+    qt: Array,
+    k: Array,
+    vt: Array,
+    *,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool | None = None,
+) -> Array:
+    """Long-row attention with q, v and the output in the d-major
+    (B, H, D, L) layout and k in (B, H, L, D) — the 'flash_eod' lever's
+    entry point.
+
+    (B, H, L, D) pads head_dim 40 to 128 lanes in HBM: the flash_eo
+    projections writing it measure ~25% MFU and the q/o streams carry
+    3.2x their real bytes. In (B, H, D, L) the minor dim is L (unpadded)
+    and D=40 is exactly 5 sublane tiles, so the producing einsums
+    (``blc,chd->bhdl``), the kernel streams, and the consuming out-proj
+    (``bhdl,hdc->blc``) all run unpadded; K stays (B, H, L, D) because
+    the scores matmul consumes it in that layout natively (see
+    ``_make_pvtd_kernel``). Designed for the single-kv-block long tier
+    (the SD 4096-token self-attention); anything that doesn't fit it
+    (multi-block kv, short rows, non-tiling shapes, non-TPU without
+    interpret) transposes into ``flash_mha_bhld``'s dispatch instead.
+    """
+    b, h, d, lq = qt.shape
+    lk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # per-tier kernel selection (see the module-level defaults)
+    if lk > 1024:
+        impl, bq_default = _EOD_IMPL, _EOD_BLOCK_Q
+    else:
+        impl, bq_default = _EOD_IMPL_MID, _EOD_BLOCK_Q_MID
+    block_q = block_q or min(bq_default, lq)
+    while lq % block_q:
+        block_q //= 2
+    chains = int(impl[-1]) if impl in _LONG_KERNELS_EOD else 1
+    if (lk > 4096 or lk <= 256 or lk % 8 or d % 8
+            or impl not in _LONG_KERNELS_EOD
+            # each chain's q slice must land on 128-lane boundaries
+            or block_q % (128 * chains)):
+        out = flash_mha_bhld(
+            qt.transpose(0, 1, 3, 2), k, vt.transpose(0, 1, 3, 2),
+            sm_scale=sm_scale, interpret=interpret,
+        )
+        return out.transpose(0, 1, 3, 2)
+    return _flash_eod(qt, k, vt, sm_scale, block_q, interpret, impl)
 
 
 def flash_mha(

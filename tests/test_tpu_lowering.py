@@ -71,7 +71,6 @@ def test_geglu_ffn_lowers_for_tpu(approximate):
 @pytest.mark.parametrize(
     "lk,native_long_kv",
     [
-        (77, False),    # packed short-kv kernel (cross-attention)
         (1024, False),  # single-pass per-head kernel
         (4096, False),  # online-softmax flash loop
         (4096, True),   # transpose-free packed long-kv kernel (flash_nat)
@@ -88,6 +87,61 @@ def test_flash_mha_lowers_for_tpu(lk, native_long_kv):
         ),
         q, k, v,
     )
+
+
+def test_flash_mha_short_kv_routes_to_einsum():
+    """kv <= 256 routes to plain XLA einsum by default (the measured
+    winner, BENCH_DETAIL attn_cross_routing_sweep) — the module must
+    lower for TPU with NO Pallas custom call."""
+    b, lq, h, d = 2, 4096, 8, 40
+    q = jnp.zeros((b, lq, h, d), jnp.bfloat16)
+    k = jnp.zeros((b, 77, h, d), jnp.bfloat16)
+    text = (
+        jax.jit(functools.partial(flash_mha, interpret=False))
+        .trace(q, k, k).lower(lowering_platforms=("tpu",)).as_text()
+    )
+    assert "tpu_custom_call" not in text
+
+
+@pytest.mark.parametrize("impl", ["nat", "xpk"])
+def test_flash_cross_levers_lower_for_tpu(impl):
+    """The short-kv Pallas levers (swept by scripts/bench_attn_cross.py)
+    must stay lowerable — 'xpk' builds block-diagonal operands and does
+    128-aligned per-head lane slices inside the kernel."""
+    import superdiff_tpu.ops.pallas.flash_attention as fa
+
+    b, lq, h, d = 2, 4096, 8, 40
+    q = jnp.zeros((b, lq, h, d), jnp.bfloat16)
+    k = jnp.zeros((b, 77, h, d), jnp.bfloat16)
+    prev = fa._CROSS_IMPL
+    try:
+        fa._CROSS_IMPL = impl
+        _assert_tpu_lowerable(
+            functools.partial(flash_mha, interpret=False), q, k, k
+        )
+    finally:
+        fa._CROSS_IMPL = prev
+
+
+@pytest.mark.parametrize("lk,impl", [(4096, "pvtd1"), (4096, "pvtd2"),
+                                     (1024, "pvtd1")])
+def test_flash_mha_eod_lowers_for_tpu(lk, impl):
+    """The d-major entry (q/v/o in (B,H,D,L)) at both long tiers."""
+    import superdiff_tpu.ops.pallas.flash_attention as fa
+    from superdiff_tpu.ops.pallas.flash_attention import flash_mha_eod
+
+    b, h, d = 2, 8, 40
+    qt = jnp.zeros((b, h, d, 4096), jnp.bfloat16)
+    k = jnp.zeros((b, h, lk, d), jnp.bfloat16)
+    vt = jnp.zeros((b, h, d, lk), jnp.bfloat16)
+    prev = (fa._EOD_IMPL, fa._EOD_IMPL_MID)
+    try:
+        fa._EOD_IMPL = fa._EOD_IMPL_MID = impl
+        _assert_tpu_lowerable(
+            functools.partial(flash_mha_eod, interpret=False), qt, k, vt
+        )
+    finally:
+        fa._EOD_IMPL, fa._EOD_IMPL_MID = prev
 
 
 @pytest.mark.parametrize("impl", ["mxsum", "pipe2", "pvt2"])
