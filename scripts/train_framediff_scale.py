@@ -1,0 +1,216 @@
+"""At-scale FrameDiff training demo on the real chip.
+
+Closes the last compute-gated inventory partial ("FrameDiff training:
+converges on toy data; no at-scale checkpoint"): trains the
+checkpoint-faithful ``FrameDiffScoreNetwork`` at the FULL reference model
+config (node 256 / edge 128 / 4 IPA blocks / 8 heads — the architecture
+behind ``se3_diffusion/config/base.yaml``, ~17M params) with the same
+SE(3) DSM loss the reference optimizes (``se3diff_experiments/
+train_se3_diffusion.py:524``), on a synthetic mixed secondary-structure
+backbone family (no egress: real PDB training data is unavailable in this
+image — the *scale* of the model/loss/optimizer step is the claim, the
+data distribution is a stand-in). Saves an orbax checkpoint, verifies a
+sampling pass from the trained EMA params produces finite clash-screened
+backbones, and records loss trajectory + steps/s into BENCH_DETAIL.
+
+Run on the real chip:
+  python scripts/train_framediff_scale.py [--iters 2000] [--n 128]
+      [--batch 8] [--workdir /tmp/framediff_scale]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def synthetic_family(rng: np.random.Generator, n: int, count: int) -> np.ndarray:
+    """(count, n, 7) rigid tensors: backbones of alternating helix/strand
+    segments with randomized segment lengths, phases and pitches."""
+    import jax.numpy as jnp
+
+    from superdiff_tpu.models.protein import rigid
+
+    out = []
+    for _ in range(count):
+        trans = np.zeros((n, 3), np.float32)
+        rotvec = np.zeros((n, 3), np.float32)
+        pos = np.zeros(3, np.float32)
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        i = 0
+        while i < n:
+            seg = int(rng.integers(8, 24))
+            helix = rng.random() < 0.5
+            phase = rng.random() * 2 * np.pi
+            pitch = 1.2 + 0.6 * rng.random()
+            # local frame for the segment
+            a = direction
+            b = np.cross(a, rng.normal(size=3))
+            b /= np.linalg.norm(b)
+            c = np.cross(a, b)
+            for j in range(min(seg, n - i)):
+                if helix:
+                    ang = phase + 1.7 * j
+                    trans[i + j] = pos + 2.3 * (np.cos(ang) * b + np.sin(ang) * c) \
+                        + pitch * j * a
+                    rotvec[i + j] = 0.3 * np.array(
+                        [np.sin(ang), np.cos(ang), 0.1 * (j % 10)])
+                else:
+                    trans[i + j] = pos + 3.3 * j * a + ((i + j) % 2) * b
+                    rotvec[i + j] = 0.1 * np.array([(i + j) % 2, 0.0, 0.05 * j])
+            adv = min(seg, n - i)
+            pos = trans[i + adv - 1] + 3.8 * a
+            # bend the chain direction between segments
+            direction = direction + 0.8 * rng.normal(size=3)
+            direction /= np.linalg.norm(direction)
+            i += adv
+        trans -= trans.mean(0)
+        quat = rigid.rotmat_to_quat(rigid.rotvec_to_rotmat(jnp.asarray(rotvec)))
+        out.append(np.concatenate(
+            [np.asarray(quat), trans], axis=-1).astype(np.float32))
+    return np.stack(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pool", type=int, default=256)
+    ap.add_argument("--workdir", default="/tmp/framediff_scale")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model config (CPU smoke test)")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the CPU backend (the env var alone is "
+                         "ignored by the pinned axon plugin)")
+    ap.add_argument("--no_bench_detail", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from superdiff_tpu.utils.tunnel import require_tunnel
+
+        require_tunnel("train_framediff_scale")
+    import jax.numpy as jnp
+
+    from superdiff_tpu.models.protein import SE3Diffuser, rigid
+    from superdiff_tpu.models.protein.framediff import (
+        FrameDiffConfig,
+        FrameDiffScoreNetwork,
+    )
+    from superdiff_tpu.train import (
+        checkpoints,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from superdiff_tpu.train.se3_trainer import make_se3_dsm_loss
+    from superdiff_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.workdir, exist_ok=True)
+    n, b = args.n, args.batch
+
+    se3 = SE3Diffuser.default()
+    # the FULL reference model config (tiny only for the CPU smoke test)
+    cfg = FrameDiffConfig.tiny() if args.tiny else FrameDiffConfig()
+    net = FrameDiffScoreNetwork(cfg, score_calc=se3)
+
+    feats0 = {
+        "rigids_t": rigid.rigid_identity((1, n)),
+        "res_mask": jnp.ones((1, n)),
+        "fixed_mask": jnp.zeros((1, n)),
+        "t": jnp.ones((1,)),
+        "seq_idx": jnp.arange(n)[None],
+        "sc_ca_t": jnp.zeros((1, n, 3)),
+    }
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), feats0)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"[fd-scale] params: {n_params/1e6:.1f}M at config {cfg}",
+          flush=True)
+
+    print(f"[fd-scale] generating {args.pool}-structure synthetic family",
+          flush=True)
+    pool = jnp.asarray(synthetic_family(np.random.default_rng(7), n, args.pool))
+
+    def apply_fn(p, feats, rng=None):
+        return net.apply({"params": p}, feats)
+
+    loss_fn = make_se3_dsm_loss(apply_fn, se3)
+    opt = make_optimizer(lr=1e-4, warmup=100)
+    state = init_train_state(jax.random.PRNGKey(1), params, opt,
+                             ema_rate=0.999)
+    step = make_train_step(opt, loss_fn, donate=False)
+    seq_idx = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+    mask = jnp.ones((b, n))
+
+    rng = np.random.default_rng(11)
+    mgr = checkpoints.make_manager(args.workdir)
+    losses = []
+    t_start = None
+    for i in range(args.iters):
+        idx = jnp.asarray(rng.integers(0, args.pool, size=b))
+        batch = {"rigids_0": pool[idx], "res_mask": mask, "seq_idx": seq_idx}
+        state, loss = step(state, batch)
+        if i == 0:
+            # force the compile before timing the steady state
+            loss = float(loss)
+            print(f"[fd-scale] step 0 loss {loss:.4f} (compiled)", flush=True)
+            t_start = time.perf_counter()
+        if i % 100 == 0 or i == args.iters - 1:
+            losses.append((i, float(loss)))
+            print(f"[fd-scale] step {i}: loss {losses[-1][1]:.4f}", flush=True)
+    # host sync before timing
+    final_loss = float(loss)
+    dt = time.perf_counter() - t_start
+    sps = (args.iters - 1) / dt
+    print(f"[fd-scale] {sps:.2f} steps/s ({b * sps:.1f} prot/s) over "
+          f"{args.iters - 1} steps", flush=True)
+    checkpoints.save(mgr, args.iters, state)
+    print(f"[fd-scale] checkpoint saved to {args.workdir}", flush=True)
+
+    # sampling sanity from the trained EMA params
+    from superdiff_tpu.eval.struct_metrics import ca_ca_clashes
+    from superdiff_tpu.models.protein import residue_constants as rc
+    from superdiff_tpu.pipelines.protein import CompositionConfig, compose
+
+    model = lambda feats, t: net.apply({"params": state.params_ema}, feats)
+    out = jax.jit(lambda k: compose(
+        k, model, model, se3, n_res=n,
+        cfg=CompositionConfig(num_t=100, mixing_method="baseline_a"),
+    ))(jax.random.PRNGKey(5))
+    at37 = np.asarray(out["atom37"][0])
+    assert np.isfinite(at37).all()
+    clashes = ca_ca_clashes(at37[:, rc.CA_IDX])
+    print(f"[fd-scale] sampled backbone: finite, {clashes} CA clashes",
+          flush=True)
+
+    if args.no_bench_detail or args.tiny:
+        print("[fd-scale] OK (smoke run; BENCH_DETAIL not written)",
+              flush=True)
+        return
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+    path = merge_bench_detail({"framediff_at_scale_train": {
+        "params_millions": round(n_params / 1e6, 1),
+        "model_config": "reference base.yaml sizes (node 256, edge 128, 4 IPA blocks)",
+        "n_res": n, "batch": b, "iters": args.iters,
+        "loss_curve": losses[:3] + losses[-3:],
+        "loss_first": losses[0][1], "loss_last": final_loss,
+        "steps_per_sec": round(sps, 2),
+        "data": "synthetic mixed helix/strand family (no-egress stand-in)",
+        "sample_finite": True, "sample_ca_clashes": int(clashes),
+    }})
+    print(f"[fd-scale] BENCH_DETAIL entry written -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
