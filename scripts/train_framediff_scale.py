@@ -31,11 +31,12 @@ import numpy as np
 def synthetic_family(rng: np.random.Generator, n: int, count: int) -> np.ndarray:
     """(count, n, 7) rigid tensors: backbones of alternating helix/strand
     segments with randomized segment lengths, phases and pitches."""
+    import jax
     import jax.numpy as jnp
 
     from superdiff_tpu.models.protein import rigid
 
-    out = []
+    all_trans, all_rotvec = [], []
     for _ in range(count):
         trans = np.zeros((n, 3), np.float32)
         rotvec = np.zeros((n, 3), np.float32)
@@ -70,10 +71,17 @@ def synthetic_family(rng: np.random.Generator, n: int, count: int) -> np.ndarray
             direction /= np.linalg.norm(direction)
             i += adv
         trans -= trans.mean(0)
-        quat = rigid.rotmat_to_quat(rigid.rotvec_to_rotmat(jnp.asarray(rotvec)))
-        out.append(np.concatenate(
-            [np.asarray(quat), trans], axis=-1).astype(np.float32))
-    return np.stack(out)
+        all_trans.append(trans)
+        all_rotvec.append(rotvec)
+    # ONE batched device call for the rotvec->quat conversion: per-structure
+    # calls pay a full tunnel round trip each on the remote chip (measured
+    # minutes for 256 structures).
+    quat = jax.jit(
+        lambda rv: rigid.rotmat_to_quat(rigid.rotvec_to_rotmat(rv))
+    )(jnp.asarray(np.stack(all_rotvec)))
+    return np.concatenate(
+        [np.asarray(quat), np.stack(all_trans)], axis=-1
+    ).astype(np.float32)
 
 
 def main():

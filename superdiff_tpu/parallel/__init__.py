@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
     local_mesh_for_testing,
 )
+from .sp import ring_attention, ring_attention_local
 from .tp import (make_ensemble_tp_mesh, make_tp_mesh, place_tp,
                  sd_tp_shardings, sd_tp_shardings_stacked)
 
@@ -17,6 +18,8 @@ __all__ = [
     "ensemble_sharding",
     "shard_batch",
     "local_mesh_for_testing",
+    "ring_attention",
+    "ring_attention_local",
     "make_ensemble_tp_mesh",
     "make_tp_mesh",
     "place_tp",
