@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
     local_mesh_for_testing,
 )
+from .pp import pipeline, pipeline_local
 from .sp import ring_attention, ring_attention_local
 from .tp import (make_ensemble_tp_mesh, make_tp_mesh, place_tp,
                  sd_tp_shardings, sd_tp_shardings_stacked)
@@ -18,6 +19,8 @@ __all__ = [
     "ensemble_sharding",
     "shard_batch",
     "local_mesh_for_testing",
+    "pipeline",
+    "pipeline_local",
     "ring_attention",
     "ring_attention_local",
     "make_ensemble_tp_mesh",
