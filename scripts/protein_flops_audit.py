@@ -1,0 +1,159 @@
+"""Analytic + XLA FLOP audit of the SE(3) composition forwards (VERDICT r4 #7).
+
+The SD path's MFU numbers rest on an audited FLOP denominator
+(``scripts/flops_audit.py``: 0.70 TFLOP/img analytic vs 0.91 XLA). The
+protein path — the reference's heaviest workload (SURVEY.md §2.3) — had
+one number (7.0 s/backbone) and no denominator. This script supplies it:
+
+1. Analytic per-module FLOPs (2 per multiply-add) for ``IPAScoreNetwork``
+   at both composition roles (``IPAConfig.framediff_like`` /
+   ``proteus_like``) over lengths 100/200/300 — the dominant tiers are the
+   per-block pair ops (edge-biased attention logits, point-distance d2,
+   o_edge gather, edge transition) which scale n^2, and the node-linear
+   tier which scales n.
+2. XLA ``compile().cost_analysis()['flops']`` of the jitted forward on CPU
+   as the cross-check (XLA also counts elementwise/norm arithmetic, so it
+   reads a few % higher; large deviations mean the analytic model missed a
+   tier).
+3. The composition roofline: one step of ``pipelines/protein.compose`` is
+   one forward of EACH model + O(n) kappa math, x (num_t - 1) steps. The
+   measured 7.0 s/backbone (BENCH_DETAIL ``protein_compose``, len 100,
+   500 steps) is divided by the audited TFLOP to state achieved TFLOP/s
+   and the fraction of peak — the trunk runs fp32 (ipa.py module note:
+   SE(3) geometry is precision-sensitive), so the honest ceiling is the
+   v5e fp32-through-MXU rate (~1/4 of the 197 TFLOP/s bf16 peak).
+
+Run (CPU; FLOPs are shape arithmetic):
+  JAX_PLATFORMS=cpu python scripts/protein_flops_audit.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def analytic_flops(cfg, n):
+    """Per-backbone forward FLOPs of IPAScoreNetwork (batch 1, length n)."""
+    C, E, h = cfg.node_dim, cfg.edge_dim, cfg.num_heads
+    sqk, sv, pqk, pv = cfg.scalar_qk, cfg.scalar_v, cfg.point_qk, cfg.point_v
+    B = cfg.num_blocks
+
+    def dense(m, cin, cout):
+        return 2.0 * m * cin * cout
+
+    tiers = {}
+    # Embedder: edge projection dominates (n^2 rows)
+    edge_in = (2 * cfg.max_rel_offset + 1) + cfg.index_embed_dim + cfg.distogram_bins
+    tiers["embed"] = dense(n * n, edge_in, E) + dense(n, 2 * cfg.index_embed_dim + 1, C)
+
+    per_block = {}
+    # node-linear tier
+    per_block["qkv"] = dense(n, C, h * sqk) * 2 + dense(n, C, h * sv)
+    per_block["point_proj"] = dense(n, C, h * pqk * 3) * 2 + dense(n, C, h * pv * 3)
+    per_block["frames"] = 2.0 * n * h * (2 * pqk + 2 * pv) * 9  # to/from global
+    out_w = h * sv + h * pv * 4 + h * E
+    per_block["out_proj"] = dense(n, out_w, C)
+    per_block["transition"] = dense(n, C, C) * 2 + dense(n, C, 6)
+    # pair tier (n^2)
+    per_block["scalar_logits"] = 2.0 * n * n * h * sqk
+    per_block["point_d2"] = 3.0 * n * n * h * pqk * 3  # diff, square, sum
+    per_block["edge_bias"] = dense(n * n, E, h)
+    per_block["softmax"] = 5.0 * n * n * h
+    per_block["o_scalar"] = 2.0 * n * n * h * sv
+    per_block["o_points"] = 2.0 * n * n * h * pv * 3
+    per_block["o_edge"] = 2.0 * n * n * h * E
+    block_total = sum(per_block.values())
+
+    # edge transition between blocks ((B-1) of them)
+    edge_trans = dense(n * n, E + 2 * C, E)
+
+    total = tiers["embed"] + B * block_total + (B - 1) * edge_trans
+    return {
+        "total_gflop": round(total / 1e9, 3),
+        "embed_gflop": round(tiers["embed"] / 1e9, 3),
+        "per_block_gflop": round(block_total / 1e9, 3),
+        "edge_transition_gflop": round(edge_trans / 1e9, 3),
+        "pair_fraction": round(
+            (
+                B * sum(v for k, v in per_block.items()
+                        if k in ("scalar_logits", "point_d2", "edge_bias",
+                                 "softmax", "o_scalar", "o_points", "o_edge"))
+                + (B - 1) * edge_trans + tiers["embed"]
+            ) / total, 3),
+    }
+
+
+def xla_flops(net, params, feats):
+    lowered = jax.jit(lambda p, f: net.apply({"params": p}, f)).lower(params, feats)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def main():
+    from superdiff_tpu.models.protein import IPAConfig, IPAScoreNetwork, SE3Diffuser, rigid
+
+    se3 = SE3Diffuser.default()
+    out = {"convention": "2 FLOP per multiply-add; batch 1; fp32 trunk"}
+    roles = {
+        "framediff_like": IPAConfig.framediff_like(),
+        "proteus_like": IPAConfig.proteus_like(),
+    }
+    for name, cfg in roles.items():
+        net = IPAScoreNetwork(cfg, se3)
+        rows = {}
+        for n in (100, 200, 300):
+            feats = {
+                "rigids_t": rigid.rigid_identity((1, n)),
+                "res_mask": jnp.ones((1, n)),
+                "fixed_mask": jnp.zeros((1, n)),
+                "t": jnp.ones((1,)),
+                "seq_idx": jnp.arange(n)[None],
+                "sc_ca_t": jnp.zeros((1, n, 3)),
+            }
+            ana = analytic_flops(cfg, n)
+            if n == 100:
+                params = jax.jit(net.init)(jax.random.PRNGKey(0), feats)["params"]
+                xf = xla_flops(net, params, feats)
+                ana["xla_gflop"] = round(xf / 1e9, 3)
+                ana["xla_over_analytic"] = round(xf / (ana["total_gflop"] * 1e9), 3)
+            rows[f"len{n}"] = ana
+        out[name] = rows
+
+    # composition roofline at the benchmarked shape (len 100, 500 steps)
+    steps = 499  # num_t - 1 forwards of each model (pipelines/protein.compose)
+    per_step_gf = (out["framediff_like"]["len100"]["total_gflop"]
+                   + out["proteus_like"]["len100"]["total_gflop"])
+    total_tf = per_step_gf * steps / 1e3
+    measured_s = 7.0  # BENCH_DETAIL protein_compose (r2 measurement)
+    achieved = total_tf / measured_s
+    out["composition_roofline_len100"] = {
+        "gflop_per_step_both_models": round(per_step_gf, 2),
+        "total_tflop_500steps": round(total_tf, 3),
+        "measured_seconds_per_backbone": measured_s,
+        "achieved_tflops": round(achieved, 3),
+        "note": (
+            "fp32 trunk; v5e fp32-through-MXU ceiling ~49 TFLOP/s (197/4). "
+            "The workload is tiny (n=100 pair tiles pad the 128-lane MXU "
+            "tile heavily: E=128/160, heads*sqk=128 borderline) — see "
+            "trace_protein.py for the measured category split."
+        ),
+        "pct_of_fp32_peak": round(100.0 * achieved / 49.25, 2),
+    }
+    from superdiff_tpu.utils.bench_io import merge_bench_detail
+
+    merge_bench_detail({"protein_flops_audit": out})
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

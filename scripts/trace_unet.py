@@ -5,10 +5,6 @@ and per-category durations parsed from the perfetto trace.
 Run: python scripts/trace_unet.py [batch]
 """
 
-import collections
-import glob
-import gzip
-import json
 import os
 import shutil
 import sys
@@ -78,71 +74,16 @@ def main():
     sync(f(params, ctx, lat))
     jax.profiler.stop_trace()
 
-    traces = glob.glob(os.path.join(LOGDIR, "**", "*.trace.json.gz"),
-                       recursive=True)
-    assert traces, f"no perfetto trace under {LOGDIR}"
-    with gzip.open(traces[0], "rt") as fh:
-        data = json.load(fh)
+    # shared parser/taxonomy (utils/traceparse.py — also drives
+    # scripts/trace_protein.py)
+    from superdiff_tpu.utils import traceparse
 
-    # device-track complete events only
-    pid_names = {}
-    for ev in data["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "device" in n.lower()}
-
-    per_op = collections.Counter()
-    for ev in data["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        name = ev.get("name", "")
-        per_op[name] += ev.get("dur", 0)
-
-    def category(name):
-        n = name.lower()
-        if n.startswith(("jit_", "while")):
-            return "outer-wrappers(excluded)"
-        if "flash" in n or "custom-call" in n or "attn" in n:
-            return "attention-kernels"
-        if n.startswith("block_"):
-            return "geglu-ffn-kernels"
-        if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")) or ".fusion" in n:
-            return "fusion(conv/matmul/elem)"
-        if "convert" in n:
-            # convert_reduce_fusion etc. are GN-stat/elementwise fusions;
-            # a bare "conv" substring test lumped ~5 ms of them into the
-            # convolution tier
-            return "reduce/norm" if "reduce" in n else "other"
-        if "convolution" in n or "conv" in n:
-            return "convolution"
-        if "dot" in n or "einsum" in n or "matmul" in n:
-            return "matmul"
-        if "copy" in n or "transpose" in n or "bitcast" in n or "reshape" in n:
-            return "data-formatting"
-        if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n:
-            return "slice/concat/pad"
-        if "reduce" in n or "norm" in n:
-            return "reduce/norm"
-        return "other"
-
-    cats = collections.Counter()
-    for name, dur in per_op.items():
-        cats[category(name)] += dur
-
-    total = sum(d for n, d in per_op.items()
-                if category(n) != "outer-wrappers(excluded)")
-    print(f"\ntotal device time: {total/1e3/K:.1f} ms/iter over {K} iters")
-    print("\n== categories (ms/iter) ==")
-    for c, d in cats.most_common():
-        print(f"  {c:28s} {d/1e3/K:8.2f}")
-    print("\n== top 40 ops (ms/iter) ==")
-    for name, dur in per_op.most_common(40):
-        print(f"  {dur/1e3/K:8.3f}  {name[:110]}")
+    per_op = traceparse.load_device_ops(LOGDIR)
+    parsed = traceparse.report(per_op, K)
 
     with open("/tmp/trace_unet_ops.txt", "w") as f:
         for name, dur in per_op.most_common():
-            f.write(f"{dur/1e3/K:10.4f}\t{category(name)}\t{name}\n")
+            f.write(f"{dur/1e3/K:10.4f}\t{traceparse.category(name)}\t{name}\n")
     print("\nfull per-op table: /tmp/trace_unet_ops.txt")
 
     # persist into BENCH_DETAIL.json so the lever A/Bs regenerate the
@@ -153,15 +94,12 @@ def main():
         B, FFN_IMPL, ATTN_IMPL, UPSAMPLE_IMPL, "_dedup" if DEDUP else "")
     entry = {
         "wall_ms_per_iter": round(dt, 1),
-        "device_ms_per_iter": round(total / 1e3 / K, 1),
+        "device_ms_per_iter": round(parsed["total_device_ms_per_iter"], 1),
         "batch": B,
         "latent_batch": lat_b,
         "config": {"ffn": FFN_IMPL, "attn": ATTN_IMPL,
                    "upsample": UPSAMPLE_IMPL, "dedup": DEDUP},
-        "categories_ms_per_iter": {
-            c: round(d / 1e3 / K, 2) for c, d in cats.most_common()
-            if c != "outer-wrappers(excluded)"
-        },
+        "categories_ms_per_iter": parsed["categories_ms_per_iter"],
     }
     merge_bench_detail({entry_key: entry})
     print(f"BENCH_DETAIL entry written: {entry_key}")
