@@ -406,7 +406,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--temp_rots", type=float, default=1.0)
     pr.add_argument("--logp_trans", type=float, default=0.0)
     pr.add_argument("--logp_rots", type=float, default=0.0)
-    pr.add_argument("--noise_scale", type=float, default=1.0)
+    pr.add_argument("--noise_scale", type=float, default=0.1)
     pr.add_argument("--stochastic", action="store_true")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--num_seeds", type=int, default=1)

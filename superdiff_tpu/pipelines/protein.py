@@ -47,8 +47,15 @@ class CompositionConfig:
     temp_rots: float = 1.0
     logp_trans: float = 0.0
     logp_rots: float = 0.0
-    noise_scale: float = 1.0
-    stochastic: bool = True
+    # the reference composition reads ``experiment.noise_scale`` —
+    # shipped value 0.1 (composition.yaml:463, read at composition.py:169;
+    # the yaml's own save_path is named framediff_deterministic_ns0.1)
+    noise_scale: float = 0.1
+    # reference ships the deterministic (probability-flow) sampler by
+    # default: composition.yaml:17 ``stochastic: False`` (the CLI
+    # ``--stochastic`` store_true flag matches; tests/test_protein_config.py
+    # pins every shared default against the yaml)
+    stochastic: bool = False
     center: bool = True
     # fraction of steps on which the proteus-role model gets sequence
     # conditioning (struct2seq/ESM gating sub-schedule,
