@@ -125,10 +125,14 @@ def bench_protein():
     ma = lambda feats, t: net_a.apply({"params": pa}, feats)
     mb = lambda feats, t: net_b.apply({"params": pb}, feats)
     cfg = CompositionConfig(num_t=500, kappa_operator="OR", stochastic=True)
-    f = lambda k: compose(k, ma, mb, se3, n_res=n, cfg=cfg)
-    sync(f(jax.random.PRNGKey(0))["rigids"])
+    f = jax.jit(lambda k: compose(k, ma, mb, se3, n_res=n, cfg=cfg)["rigids"])
+    # TWO synced warmups (CLAUDE.md timing gotcha): the single-warmup r2
+    # measurement recorded 7.0 s/backbone - that number was compile/warmup
+    # absorption; the steady state is ~1-2 s (trace_protein.py r5)
+    sync(f(jax.random.PRNGKey(0)))
+    sync(f(jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    sync(f(jax.random.PRNGKey(1))["rigids"])
+    sync(f(jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0
     return {"seconds_per_backbone": round(dt, 2), "length": n, "steps": 500,
             "models": "proteus_like(6 blk, local-k32) + framediff_like(4 blk)"}

@@ -134,7 +134,12 @@ def main():
     per_step_gf = (out["framediff_like"]["len100"]["total_gflop"]
                    + out["proteus_like"]["len100"]["total_gflop"])
     total_tf = per_step_gf * steps / 1e3
-    measured_s = 7.0  # BENCH_DETAIL protein_compose (r2 measurement)
+    # r5 correction: the r2 protein_compose entry recorded 7.0 s/backbone
+    # with ONE synced warmup — compile/warmup absorption (the CLAUDE.md
+    # timing gotcha). The 2-warmup steady state is 0.86 s
+    # (protein_compose_batch_sweep_len100 batch1, trace_protein confirms
+    # 1.6 ms device/step).
+    measured_s = 0.86
     achieved = total_tf / measured_s
     out["composition_roofline_len100"] = {
         "gflop_per_step_both_models": round(per_step_gf, 2),
@@ -142,10 +147,12 @@ def main():
         "measured_seconds_per_backbone": measured_s,
         "achieved_tflops": round(achieved, 3),
         "note": (
-            "fp32 trunk; v5e fp32-through-MXU ceiling ~49 TFLOP/s (197/4). "
-            "The workload is tiny (n=100 pair tiles pad the 128-lane MXU "
-            "tile heavily: E=128/160, heads*sqk=128 borderline) — see "
-            "trace_protein.py for the measured category split."
+            "fp32 trunk (SE(3) geometry is precision-sensitive, ipa.py); "
+            "v5e fp32-through-MXU ceiling ~49 TFLOP/s (197/4). ~28% of the "
+            "fp32 ceiling at batch 1; the batch sweep peaks at batch 4 "
+            "(15.5 TFLOP/s, 31%) then declines — the n=100 pair tiles pad "
+            "the 128-lane MXU tile (E=128/160) and the fusion tier "
+            "dominates the trace (1.14 of 1.6 ms/step, trace_protein)."
         ),
         "pct_of_fp32_peak": round(100.0 * achieved / 49.25, 2),
     }
