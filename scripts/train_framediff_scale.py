@@ -207,7 +207,7 @@ def main():
         return
     from superdiff_tpu.utils.bench_io import merge_bench_detail
 
-    path = merge_bench_detail({"framediff_at_scale_train": {
+    path = merge_bench_detail({"framediff_scale_train": {
         "params_millions": round(n_params / 1e6, 1),
         "model_config": "reference base.yaml sizes (node 256, edge 128, 4 IPA blocks)",
         "n_res": n, "batch": b, "iters": args.iters,
