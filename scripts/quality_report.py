@@ -35,16 +35,28 @@ def log(m):
 
 
 def main():
-    from superdiff_tpu.utils.tunnel import require_tunnel
-
-    require_tunnel('quality_report')
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/quality_report")
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--n_samples", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--out", default="QUALITY.json")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"],
+                    help="cpu = plumbing smoke-run without the chip")
+    ap.add_argument("--sample_steps", type=int, default=200,
+                    help="sampler steps per row (reduce for smoke runs)")
+    ap.add_argument("--bpd_batch", type=int, default=64)
+    ap.add_argument("--bpd_steps", type=int, default=100)
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from superdiff_tpu.utils.tunnel import require_tunnel
+
+        require_tunnel('quality_report')
 
     import jax
     import jax.numpy as jnp
@@ -62,29 +74,44 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
 
     # -- fixed-seed random-feature InceptionV3 (documented stand-in) --------
+    # include_top=True: the same net serves pool3 features (FID/FLD) AND the
+    # class-logits head (IS — evals.ipynb cells 5/13/15 carry an IS column)
     log("initializing feature net (jitted — eager init is ~400 tunneled dispatches)")
     feat_params = jax.jit(
-        lambda k: inception.init_params(k, include_top=False)
+        lambda k: inception.init_params(k, include_top=True)
     )(jax.random.PRNGKey(1234))
-    feature_fn = inception.make_feature_fn(feat_params, batch_size=256)
+    _extract = inception.make_feature_fn(
+        feat_params, batch_size=256, with_logits=True
+    )
+
+    def feature_fn(imgs):
+        return _extract(imgs)[0]
+
+    def features_and_logits(imgs):
+        return _extract(imgs)
+
     inception.save_npz(feat_params, os.path.join(args.workdir, "feature_net.npz"))
 
     # -- dataset features ---------------------------------------------------
-    def split_features(split, n):
+    def split_features(split, n, with_logits=False):
         ds = ImageDataset("CIFAR10", split, seed=0)
-        feats, seen = [], 0
+        feats, logits, seen = [], [], 0
         for b in ds.batches(args.batch, uniform_dequantization=False,
                             random_flip=False, scale_to_pm1=False, loop=False):
             imgs = (b["image"] * 255).astype(np.uint8)
-            feats.append(feature_fn(imgs))
+            f, l = features_and_logits(imgs)
+            feats.append(f)
+            logits.append(l)
             seen += len(imgs)
             if seen >= n:
                 break
+        if with_logits:
+            return np.concatenate(feats)[:n], np.concatenate(logits)[:n]
         return np.concatenate(feats)[:n]
 
     N_REF = max(args.n_samples, 2048)
     log("extracting dataset features")
-    train_feats = split_features("train", N_REF)
+    train_feats, train_logits = split_features("train", N_REF, with_logits=True)
     test_feats = split_features("test", N_REF)
 
     # -- train the model pair (reference UNet config, class-split data) -----
@@ -92,7 +119,7 @@ def main():
         return C.CifarConfig(
             train_split=split, batch_size=128, log_every=500,
             save_every=args.iters, ema_rate=0.999,
-            eval_batch_size=args.batch, n_sample_steps=200,
+            eval_batch_size=args.batch, n_sample_steps=args.sample_steps,
         )
 
     states, cfgs = {}, {}
@@ -115,20 +142,29 @@ def main():
             model, params_list, cfgs["A"], mode=mode, operator=operator,
             score_mode="vmap" if len(params_list) > 1 else "unroll",
         )
-        feats, key = [], jax.random.PRNGKey(7)
+        feats, logits, key = [], [], jax.random.PRNGKey(7)
         for i in range(-(-args.n_samples // args.batch)):
             key, k = jax.random.split(key)
             x0, _ = gen(k)
             imgs = np.asarray(jnp.clip(inverse(x0) * 255.0, 0, 255).astype(jnp.uint8))
-            feats.append(feature_fn(imgs))
-        return np.concatenate(feats)[: args.n_samples]
+            f, l = features_and_logits(imgs)
+            feats.append(f)
+            logits.append(l)
+        return (np.concatenate(feats)[: args.n_samples],
+                np.concatenate(logits)[: args.n_samples])
 
     pa, pb = states["A"].params_ema, states["B"].params_ema
     # CIFAR-tier operators are OR and averaged, as in the reference's CIFAR
-    # stack (dynamics.py joint fields; AND lives in the SD/protein tiers)
+    # stack (dynamics.py joint fields; AND lives in the SD/protein tiers).
+    # Single-model ODE rows complete the evals.ipynb cell-5/10 matrix
+    # (VERDICT r4 #1/#3): without them the joint-ODE number has no intra-
+    # protocol baseline and the r4 anomaly (81.7 vs SDE singles ~50) could
+    # not be attributed to the mixing path vs ODE sampling per se.
     runs = {
         "model_A_sde": ([pa], "sde", "avg"),
         "model_B_sde": ([pb], "sde", "avg"),
+        "model_A_ode": ([pa], "ode", "avg"),
+        "model_B_ode": ([pb], "ode", "avg"),
         "joint_or_sde": ([pa, pb], "sde", "or"),
         "joint_or_ode": ([pa, pb], "ode", "or"),
         "joint_avg_sde": ([pa, pb], "sde", "avg"),
@@ -143,19 +179,26 @@ def main():
             "boot_std": round(b["boot_std"], 3),
         }
 
+    def is_row(logits):
+        m, s = fid_lib.inception_score(logits, splits=10)
+        return round(m, 3), round(s, 3)
+
     rows = {}
     gen_feat_cache = {}
     for name, (params, mode, op) in runs.items():
         t0 = time.time()
         log(f"sampling {name}")
-        f = gen_features(params, mode, op)
+        f, l = gen_features(params, mode, op)
         gen_feat_cache[name] = f
         ftr = fid_row(train_feats, f)
+        ism, iss = is_row(l)
         rows[name] = {
             "fid_train": ftr["value"],
             "fid_train_ci95": ftr["ci95"],
             "fid_train_boot_std": ftr["boot_std"],
             "fid_test": round(fid_lib.fid_from_features(test_feats, f), 3),
+            "is_mean": ism,
+            "is_std": iss,
             "seconds": round(time.time() - t0, 1),
         }
         log(f"{name}: {rows[name]}")
@@ -179,19 +222,28 @@ def main():
         "fid_test": round(fid_lib.fid_from_features(test_feats, mixed), 3),
     }
 
-    # sanity bounds (evals.ipynb cell 15 analog)
+    # sanity bounds (evals.ipynb cell 15 analog: train data and uniform
+    # noise bracket every generated row, in FID AND IS — the reference's
+    # bounds are IS 10.851 train / 3.375 noise)
     rng = np.random.default_rng(0)
     noise_imgs = rng.integers(0, 256, (args.n_samples, 32, 32, 3), dtype=np.uint8)
-    noise_feats = feature_fn(noise_imgs)
-    for name, feats in (
-        ("sanity_train_subset", split_features("train[:20%]", args.n_samples)),
-        ("sanity_noise", noise_feats),
+    noise_feats, noise_logits = features_and_logits(noise_imgs)
+    noise_feats, noise_logits = noise_feats[: args.n_samples], noise_logits[: args.n_samples]
+    sub_feats, sub_logits = split_features(
+        "train[:20%]", args.n_samples, with_logits=True
+    )
+    for name, feats, logits in (
+        ("sanity_train_subset", sub_feats, sub_logits),
+        ("sanity_noise", noise_feats, noise_logits),
     ):
         fr = fid_row(train_feats, feats)
+        ism, iss = is_row(logits)
         rows[name] = {
             "fid_train": fr["value"],
             "fid_train_ci95": fr["ci95"],
             "fid_train_boot_std": fr["boot_std"],
+            "is_mean": ism,
+            "is_std": iss,
         }
 
     # untrained-model bound: random-init params through the same sampler
@@ -199,7 +251,8 @@ def main():
         {"params": jax.random.PRNGKey(99), "dropout": jax.random.PRNGKey(99)},
         jnp.ones((1, 1, 1, 1)), jnp.zeros((1, 32, 32, 3)), None, train=False,
     )["params"]
-    fu = fid_row(train_feats, gen_features([p_rand], "sde", "avg"))
+    fu_feats, _ = gen_features([p_rand], "sde", "avg")
+    fu = fid_row(train_feats, fu_feats)
     rows["untrained_model_sde"] = {
         "fid_train": fu["value"],
         "fid_train_ci95": fu["ci95"],
@@ -209,8 +262,8 @@ def main():
     # FLD on the same features (x3 repeats; eval_fld.ipynb protocol —
     # the full BASELINE.md FLD table: joint ODE/SDE, per-model, pool-mixed)
     gen_feat_cache["pool_mixed_baseline"] = mixed
-    fld_rows = ("model_A_sde", "model_B_sde", "joint_or_sde", "joint_or_ode",
-                "pool_mixed_baseline")
+    fld_rows = ("model_A_sde", "model_B_sde", "model_A_ode", "model_B_ode",
+                "joint_or_sde", "joint_or_ode", "pool_mixed_baseline")
     for name in fld_rows:
         m, s = fld_lib.fld_repeated(
             gen_feat_cache[name][:512], train_feats[:2048], test_feats[:2048],
@@ -239,7 +292,7 @@ def main():
 
     # BPD of each trained model on held-out data (eval_utils.py:14-45 analog)
     ds_test = ImageDataset("CIFAR10", "test", seed=0)
-    batch = next(ds_test.batches(64, uniform_dequantization=True,
+    batch = next(ds_test.batches(args.bpd_batch, uniform_dequantization=True,
                                  random_flip=False, scale_to_pm1=True, loop=False))
     x_test = jnp.asarray(batch["image"])
     sched = VPSchedule()
@@ -250,7 +303,7 @@ def main():
             tb = jnp.broadcast_to(t, (xx.shape[0], 1, 1, 1))
             return model.apply({"params": p}, tb, xx, None, train=False)
 
-        bpd_fn = jax.jit(make_bpd_estimator(score_apply, sched, n_steps=100))
+        bpd_fn = jax.jit(make_bpd_estimator(score_apply, sched, n_steps=args.bpd_steps))
         bpd, _ = bpd_fn(jax.random.PRNGKey(3), x_test)
         rows[f"model_{name}_sde"]["bpd_test"] = round(float(np.mean(np.asarray(bpd))), 4)
 
@@ -264,12 +317,40 @@ def main():
         v = row.get(key)
         return [v, v] if v is not None else None
 
-    trained = ["model_A_sde", "model_B_sde", "joint_or_sde", "joint_or_ode",
-               "joint_avg_sde", "pool_mixed_baseline"]
+    trained = ["model_A_sde", "model_B_sde", "model_A_ode", "model_B_ode",
+               "joint_or_sde", "joint_or_ode", "joint_avg_sde",
+               "pool_mixed_baseline"]
 
     def check(claim, lhs_hi, rhs_lo):
         m = round(rhs_lo - lhs_hi, 3)
         return {"claim": claim, "separated": bool(m > 0), "margin": m}
+
+    # worst/best single = the single with the higher/lower FID point value;
+    # two-sided separation uses that single's CI (VERDICT r4 #5: the old
+    # "joint <= worst single" passed even on a tie — the reference's signal
+    # is joint BETWEEN/below the singles, evals.ipynb cell 8:
+    # 4.01 in [2.83, 4.86])
+    def _between_checks(joint, singles, tag):
+        cis = {n: _ci(n) for n in singles}
+        vals = {n: rows[n]["fid_train"] for n in singles}
+        worst = max(singles, key=lambda n: vals[n])
+        best = min(singles, key=lambda n: vals[n])
+        out = [check(
+            f"{tag}: joint < worst single ({worst}), CI-separated",
+            _ci(joint)[1], cis[worst][0],
+        )]
+        # placement vs the best single: "below" (CI-separated better), or
+        # "between" (overlaps/above best while below worst)
+        below_best = _ci(joint)[1] < cis[best][0]
+        out.append({
+            "claim": f"{tag}: joint between/below singles "
+                     f"[{vals[best]}, {vals[worst]}]",
+            "separated": bool(out[0]["separated"]),
+            "placement": "below both singles" if below_best else
+                         "between the singles",
+            "joint": rows[joint]["fid_train"],
+        })
+        return out
 
     orderings = [
         check(
@@ -287,12 +368,34 @@ def main():
             max(_ci(n)[1] for n in trained),
             _ci("untrained_model_sde")[0],
         ),
-        check(
-            "joint OR SDE <= worst single model (comparable-or-better)",
-            _ci("joint_or_sde")[1],
-            max(_ci("model_A_sde")[1], _ci("model_B_sde")[1]),
+        *_between_checks(
+            "joint_or_sde", ["model_A_sde", "model_B_sde"], "sde"
+        ),
+        *_between_checks(
+            "joint_or_ode", ["model_A_ode", "model_B_ode"], "ode"
         ),
     ]
+    # IS sanity orderings (evals.ipynb cell 15: train 10.851 >> noise 3.375;
+    # trained rows sit in between). Separation margin uses the split-std as
+    # the scale (10 splits; ~2 sigma).
+    def _is_lo(n):
+        return rows[n]["is_mean"] - 2 * rows[n]["is_std"]
+
+    def _is_hi(n):
+        return rows[n]["is_mean"] + 2 * rows[n]["is_std"]
+
+    is_rows = [n for n in trained if "is_mean" in rows.get(n, {})]
+    if is_rows:
+        orderings.append(check(
+            "is: every generated row > sanity_noise",
+            _is_hi("sanity_noise"),
+            min(_is_lo(n) for n in is_rows),
+        ))
+        orderings.append(check(
+            "is: sanity_train_subset >= best generated row",
+            max(_is_hi(n) for n in is_rows),
+            _is_lo("sanity_train_subset"),
+        ))
     fld_gen = [n for n in fld_rows if "fld_ci95" in rows.get(n, {})]
     if fld_gen and "fld" in rows["sanity_noise"]:
         orderings.append(check(
