@@ -47,7 +47,30 @@ def main():
                     help="sampler steps per row (reduce for smoke runs)")
     ap.add_argument("--bpd_batch", type=int, default=64)
     ap.add_argument("--bpd_steps", type=int, default=100)
+    ap.add_argument("--rows_from", default=None,
+                    help="re-derive orderings from a finished QUALITY.json "
+                         "(no chip, no sampling; rows/FLD/BPD kept verbatim)")
     args = ap.parse_args()
+
+    if args.rows_from:
+        from superdiff_tpu.eval.ordering import build_orderings, check, _ci
+
+        with open(args.rows_from) as f:
+            old = json.load(f)
+        rows = old["rows"]
+        orderings = build_orderings(rows)
+        fld_gen = [n for n in rows if "fld_ci95" in rows[n]]
+        if fld_gen and "fld" in rows.get("sanity_noise", {}):
+            orderings.append(check(
+                "fld: every generated row << sanity_noise",
+                max(_ci(rows, n, "fld")[1] for n in fld_gen),
+                _ci(rows, "sanity_noise", "fld")[0],
+            ))
+        old["orderings_checked"] = orderings
+        with open(args.out, "w") as f:
+            json.dump(old, f, indent=1)
+        print(json.dumps(old, indent=1))
+        return
 
     if args.platform == "cpu":
         import jax
@@ -307,101 +330,18 @@ def main():
         bpd, _ = bpd_fn(jax.random.PRNGKey(3), x_test)
         rows[f"model_{name}_sde"]["bpd_test"] = round(float(np.mean(np.asarray(bpd))), 4)
 
-    # -- checked orderings with CI margins (VERDICT r3 weak #6) -------------
-    # an ordering "lhs < rhs" is SEPARATED when the CIs don't overlap:
-    # margin = rhs_ci_lo - lhs_ci_hi > 0
-    def _ci(name, key="fid_train"):
-        row = rows[name]
-        if f"{key}_ci95" in row:
-            return row[f"{key}_ci95"]
-        v = row.get(key)
-        return [v, v] if v is not None else None
+    # -- checked orderings with CI margins (VERDICT r3 weak #6 / r4 #5) -----
+    # semantics live in eval/ordering.py (unit-tested; also reachable via
+    # --rows_from to re-derive orderings from a finished QUALITY.json)
+    from superdiff_tpu.eval.ordering import build_orderings, check, _ci
 
-    trained = ["model_A_sde", "model_B_sde", "model_A_ode", "model_B_ode",
-               "joint_or_sde", "joint_or_ode", "joint_avg_sde",
-               "pool_mixed_baseline"]
-
-    def check(claim, lhs_hi, rhs_lo):
-        m = round(rhs_lo - lhs_hi, 3)
-        return {"claim": claim, "separated": bool(m > 0), "margin": m}
-
-    # worst/best single = the single with the higher/lower FID point value;
-    # two-sided separation uses that single's CI (VERDICT r4 #5: the old
-    # "joint <= worst single" passed even on a tie — the reference's signal
-    # is joint BETWEEN/below the singles, evals.ipynb cell 8:
-    # 4.01 in [2.83, 4.86])
-    def _between_checks(joint, singles, tag):
-        cis = {n: _ci(n) for n in singles}
-        vals = {n: rows[n]["fid_train"] for n in singles}
-        worst = max(singles, key=lambda n: vals[n])
-        best = min(singles, key=lambda n: vals[n])
-        out = [check(
-            f"{tag}: joint < worst single ({worst}), CI-separated",
-            _ci(joint)[1], cis[worst][0],
-        )]
-        # placement vs the best single: "below" (CI-separated better), or
-        # "between" (overlaps/above best while below worst)
-        below_best = _ci(joint)[1] < cis[best][0]
-        out.append({
-            "claim": f"{tag}: joint between/below singles "
-                     f"[{vals[best]}, {vals[worst]}]",
-            "separated": bool(out[0]["separated"]),
-            "placement": "below both singles" if below_best else
-                         "between the singles",
-            "joint": rows[joint]["fid_train"],
-        })
-        return out
-
-    orderings = [
-        check(
-            "sanity_train_subset << every generated row",
-            _ci("sanity_train_subset")[1],
-            min(_ci(n)[0] for n in trained),
-        ),
-        check(
-            "every trained row << sanity_noise",
-            max(_ci(n)[1] for n in trained),
-            _ci("sanity_noise")[0],
-        ),
-        check(
-            "every trained row << untrained model",
-            max(_ci(n)[1] for n in trained),
-            _ci("untrained_model_sde")[0],
-        ),
-        *_between_checks(
-            "joint_or_sde", ["model_A_sde", "model_B_sde"], "sde"
-        ),
-        *_between_checks(
-            "joint_or_ode", ["model_A_ode", "model_B_ode"], "ode"
-        ),
-    ]
-    # IS sanity orderings (evals.ipynb cell 15: train 10.851 >> noise 3.375;
-    # trained rows sit in between). Separation margin uses the split-std as
-    # the scale (10 splits; ~2 sigma).
-    def _is_lo(n):
-        return rows[n]["is_mean"] - 2 * rows[n]["is_std"]
-
-    def _is_hi(n):
-        return rows[n]["is_mean"] + 2 * rows[n]["is_std"]
-
-    is_rows = [n for n in trained if "is_mean" in rows.get(n, {})]
-    if is_rows:
-        orderings.append(check(
-            "is: every generated row > sanity_noise",
-            _is_hi("sanity_noise"),
-            min(_is_lo(n) for n in is_rows),
-        ))
-        orderings.append(check(
-            "is: sanity_train_subset >= best generated row",
-            max(_is_hi(n) for n in is_rows),
-            _is_lo("sanity_train_subset"),
-        ))
+    orderings = build_orderings(rows)
     fld_gen = [n for n in fld_rows if "fld_ci95" in rows.get(n, {})]
     if fld_gen and "fld" in rows["sanity_noise"]:
         orderings.append(check(
             "fld: every generated row << sanity_noise",
-            max(_ci(n, "fld")[1] for n in fld_gen),
-            _ci("sanity_noise", "fld")[0],
+            max(_ci(rows, n, "fld")[1] for n in fld_gen),
+            _ci(rows, "sanity_noise", "fld")[0],
         ))
 
     report = {
